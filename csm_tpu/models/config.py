@@ -1,0 +1,166 @@
+"""Model configuration for the TPU-native CSM stack.
+
+The reference hardcodes its model hyperparameters at construction sites
+(reference: src/csm/models/model.py:11-42, src/csm/generator.py:232-238);
+here they are promoted to a real config system (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """Llama-3.2-style decoder-only transformer hyperparameters.
+
+    Matches the torchtune ``llama3_2`` factory arguments used by the
+    reference (src/csm/models/model.py:11-42): GQA attention, SwiGLU MLP,
+    RMSNorm, Llama-3.1-style frequency-scaled RoPE.
+    """
+
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    embed_dim: int
+    intermediate_dim: int
+    max_seq_len: int = 2048
+    norm_eps: float = 1e-5
+    rope_base: float = 500_000.0
+    # Llama-3.x rope frequency scaling (torchtune Llama3ScaledRoPE semantics).
+    rope_scale_factor: float = 32.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_old_context_len: int = 8192
+    attn_dropout: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+def llama3_2_1B() -> TransformerConfig:
+    """Backbone flavor (reference: src/csm/models/model.py:11-25)."""
+    return TransformerConfig(
+        num_layers=16,
+        num_heads=32,
+        num_kv_heads=8,
+        embed_dim=2048,
+        intermediate_dim=8192,
+        max_seq_len=2048,
+    )
+
+
+def llama3_2_100M() -> TransformerConfig:
+    """Audio-decoder flavor (reference: src/csm/models/model.py:28-42)."""
+    return TransformerConfig(
+        num_layers=4,
+        num_heads=8,
+        num_kv_heads=2,
+        embed_dim=1024,
+        intermediate_dim=8192,
+        max_seq_len=2048,
+    )
+
+
+FLAVORS = {
+    "llama-1B": llama3_2_1B,
+    "llama-100M": llama3_2_100M,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelArgs:
+    """CSM model arguments (reference: src/csm/models/model.py:99-107).
+
+    Accepts either flavor names (``llama-1B``/``llama-100M``) or explicit
+    TransformerConfig overrides (for tiny test models).
+    """
+
+    backbone_flavor: str = "llama-1B"
+    decoder_flavor: str = "llama-100M"
+    text_vocab_size: int = 128_256
+    audio_vocab_size: int = 2051
+    audio_num_codebooks: int = 32
+    backbone_config: Optional[TransformerConfig] = None
+    decoder_config: Optional[TransformerConfig] = None
+
+    @property
+    def backbone(self) -> TransformerConfig:
+        if self.backbone_config is not None:
+            return self.backbone_config
+        return FLAVORS[self.backbone_flavor]()
+
+    @property
+    def decoder(self) -> TransformerConfig:
+        if self.decoder_config is not None:
+            return self.decoder_config
+        return FLAVORS[self.decoder_flavor]()
+
+    @property
+    def num_total_columns(self) -> int:
+        """Width of one token frame: 32 audio codebooks + 1 text column
+        (reference: src/csm/generator.py:92-96)."""
+        return self.audio_num_codebooks + 1
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "ModelArgs":
+        d = json.loads(s)
+        for key in ("backbone_config", "decoder_config"):
+            if d.get(key) is not None:
+                d[key] = TransformerConfig(**d[key])
+        return ModelArgs(**d)
+
+
+def csm_1b_args() -> ModelArgs:
+    """The CSM-1B production configuration
+    (reference: src/csm/generator.py:232-238)."""
+    return ModelArgs(
+        backbone_flavor="llama-1B",
+        decoder_flavor="llama-100M",
+        text_vocab_size=128_256,
+        audio_vocab_size=2051,
+        audio_num_codebooks=32,
+    )
+
+
+def tiny_test_args(
+    audio_num_codebooks: int = 4,
+    text_vocab_size: int = 128,
+    audio_vocab_size: int = 64,
+) -> ModelArgs:
+    """A tiny CSM for unit tests (analogue of the reference's tiny-model
+    fixture factory, tests/create_test_model.py:42-301)."""
+    return ModelArgs(
+        backbone_flavor="tiny",
+        decoder_flavor="tiny",
+        text_vocab_size=text_vocab_size,
+        audio_vocab_size=audio_vocab_size,
+        audio_num_codebooks=audio_num_codebooks,
+        backbone_config=TransformerConfig(
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            embed_dim=64,
+            intermediate_dim=128,
+            max_seq_len=128,
+        ),
+        decoder_config=TransformerConfig(
+            num_layers=2,
+            num_heads=2,
+            num_kv_heads=1,
+            embed_dim=32,
+            intermediate_dim=64,
+            max_seq_len=128,
+        ),
+    )

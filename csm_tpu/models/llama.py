@@ -1,0 +1,159 @@
+"""Functional Llama-3.2-style transformer (backbone & audio decoder).
+
+Capability equivalent of torchtune's ``llama3_2`` decoder as used by the
+reference (src/csm/models/model.py:11-56: tok_embeddings/output replaced by
+Identity — the transformer maps hidden states to hidden states).
+
+TPU-first design:
+  * parameters are a flat dict of *layer-stacked* arrays (leading axis =
+    num_layers) and the forward is a ``jax.lax.scan`` over layers — one
+    compiled layer body regardless of depth, fast compiles, and XLA double-
+    buffers the per-layer weight fetch from HBM;
+  * weights stored (in_features, out_features) so every projection is a plain
+    ``x @ W`` row-major MXU matmul (the checkpoint converter transposes
+    torchtune's (out, in) layout);
+  * KV cache is functional (csm_tpu/ops/kvcache.py) and threaded through the
+    scan;
+  * RoPE uses the half-split convention (see csm_tpu/ops/rope.py for the
+    interleaved→half-split import permutation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from csm_tpu.models.config import TransformerConfig
+from csm_tpu.ops.attention import gqa_attention
+from csm_tpu.ops.kvcache import KVCache, update_layer
+from csm_tpu.ops.norms import rms_norm
+from csm_tpu.ops.rope import apply_rope, rope_at_positions
+
+
+def transformer_init(key: jax.Array, cfg: TransformerConfig, dtype=jnp.float32):
+    """Initialize layer-stacked transformer parameters.
+
+    Returns a dict:
+        wq (L, E, Hq*D), wk (L, E, Hkv*D), wv (L, E, Hkv*D), wo (L, Hq*D, E),
+        w1/w3 (L, E, I), w2 (L, I, E), sa_norm/mlp_norm (L, E), norm (E,)
+    """
+    E, I = cfg.embed_dim, cfg.intermediate_dim
+    L = cfg.num_layers
+    D = cfg.head_dim
+    qd, kvd = cfg.num_heads * D, cfg.num_kv_heads * D
+
+    keys = jax.random.split(key, 7)
+
+    def init(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(
+            dtype
+        )
+
+    return {
+        "wq": init(keys[0], (L, E, qd), E),
+        "wk": init(keys[1], (L, E, kvd), E),
+        "wv": init(keys[2], (L, E, kvd), E),
+        "wo": init(keys[3], (L, qd, E), qd),
+        "w1": init(keys[4], (L, E, I), E),
+        "w3": init(keys[5], (L, E, I), E),
+        "w2": init(keys[6], (L, I, E), I),
+        "sa_norm": jnp.ones((L, E), dtype),
+        "mlp_norm": jnp.ones((L, E), dtype),
+        "norm": jnp.ones((E,), dtype),
+    }
+
+
+def _layer_forward(
+    h: jnp.ndarray,
+    lp: dict,
+    cfg: TransformerConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,
+    kv_layer: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_offset: Optional[jnp.ndarray],
+):
+    """One transformer block. Returns (h, (k_cache, v_cache)|None)."""
+    B, S, E = h.shape
+    D = cfg.head_dim
+
+    # --- attention ---
+    x = rms_norm(h, lp["sa_norm"], cfg.norm_eps)
+    q = (x @ lp["wq"]).reshape(B, S, cfg.num_heads, D)
+    k = (x @ lp["wk"]).reshape(B, S, cfg.num_kv_heads, D)
+    v = (x @ lp["wv"]).reshape(B, S, cfg.num_kv_heads, D)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kv_layer is not None:
+        k_cache, v_cache = update_layer(kv_layer[0], kv_layer[1], k, v, cache_offset)
+        attn = gqa_attention(q, k_cache, v_cache, mask)
+        new_kv = (k_cache, v_cache)
+    else:
+        attn = gqa_attention(q, k, v, mask)
+        new_kv = None
+
+    h = h + attn.reshape(B, S, cfg.num_heads * D) @ lp["wo"]
+
+    # --- SwiGLU MLP ---
+    x = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(x @ lp["w1"])
+    up = x @ lp["w3"]
+    h = h + (gate * up) @ lp["w2"]
+    return h, new_kv
+
+
+def transformer_apply(
+    params: dict,
+    cfg: TransformerConfig,
+    h: jnp.ndarray,
+    positions: jnp.ndarray,
+    mask: jnp.ndarray,
+    cache: Optional[KVCache] = None,
+    cache_offset: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the transformer.
+
+    Args:
+        h: (B, S, E) input hidden states.
+        positions: (B, S) or (S,) int positions for RoPE.
+        mask: (B, S, T) boolean attention mask (T = cache len if cached,
+            else S).
+        cache: optional KVCache; if given, new K/V are written at
+            ``cache_offset`` and attention runs over the full cache.
+        cache_offset: scalar int32 write offset into the cache.
+
+    Returns:
+        (h_out (B, S, E), updated cache or None)
+    """
+    pos = positions if positions.ndim == 1 else positions[0]
+    cos, sin = rope_at_positions(cfg, pos)
+
+    layer_names = ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "sa_norm", "mlp_norm")
+    stacked = {name: params[name] for name in layer_names}
+
+    if cache is not None:
+        xs = (stacked, cache.k, cache.v)
+
+        def body(carry, x):
+            lp, kc, vc = x
+            h_new, kv = _layer_forward(
+                carry, lp, cfg, cos, sin, mask, (kc, vc), cache_offset
+            )
+            return h_new, kv
+
+        h, (new_k, new_v) = jax.lax.scan(body, h, xs)
+        new_cache = KVCache(new_k, new_v)
+    else:
+
+        def body(carry, lp):
+            h_new, _ = _layer_forward(carry, lp, cfg, cos, sin, mask, None, None)
+            return h_new, None
+
+        h, _ = jax.lax.scan(body, h, stacked)
+        new_cache = None
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    return h, new_cache

@@ -1,0 +1,69 @@
+"""Grouped-query attention.
+
+XLA path: a single fused einsum chain with f32 accumulation — XLA already
+fuses scale+mask+softmax into the matmuls on TPU.  The Pallas flash-attention
+kernel (csm_tpu/ops/flash_attention.py) is used for long-sequence training /
+prefill; this path is the correctness oracle and the decode (S=1) path, where
+attention is HBM-bandwidth-bound on the KV cache and XLA's codegen is already
+near roofline.
+
+Equivalent of the reference's torchtune attention
+(src/csm/models/model.py:11-42) and MLX ``mlx_attention``
+(src/csm/mlx/mlx_ops.py:286-359).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def gqa_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Grouped-query scaled-dot-product attention.
+
+    Args:
+        q: (B, S, Hq, D) queries.
+        k: (B, T, Hkv, D) keys (Hq % Hkv == 0).
+        v: (B, T, Hkv, D) values.
+        mask: (B, S, T) or (1, S, T) boolean; True = attend.
+
+    Returns:
+        (B, S, Hq, D) in q.dtype.
+    """
+    B, S, Hq, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+
+    qf = q.reshape(B, S, Hkv, G, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    scores = jnp.einsum("bskgd,btkd->bskgt", qf * scale, kf)
+    scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bskgt,btkd->bskgd", probs, vf)
+    return out.reshape(B, S, Hq, D).astype(q.dtype)
+
+
+def causal_mask_from_positions(
+    q_pos: jnp.ndarray, kv_pos: jnp.ndarray
+) -> jnp.ndarray:
+    """mask[b, i, j] = kv_pos[j] <= q_pos[b, i].
+
+    This is the reference's ``_index_causal_mask`` of a tril buffer
+    (src/csm/models/model.py:59-76) without materializing the
+    (max_seq, max_seq) table.
+
+    Args:
+        q_pos: (B, S) int query positions.
+        kv_pos: (T,) int key positions.
+    """
+    return kv_pos[None, None, :] <= q_pos[:, :, None]
