@@ -103,19 +103,33 @@ def masked_embed_sum(
     return jnp.sum(embeds * tokens_mask[..., None].astype(embeds.dtype), axis=2)
 
 
+# Sentinel position for unwritten / padding cache slots: larger than any real
+# query position, so `kv_pos <= q_pos` (the causal mask) is always False.
+PAD_POS = jnp.int32(1 << 28)
+
+
 class FrameState(NamedTuple):
-    """Decode-loop carry: the backbone KV cache and its fill offset."""
+    """Decode-loop carry: backbone KV cache, fill offset, per-slot positions.
+
+    ``kv_pos`` (B, max_seq) holds the absolute position written into each
+    cache slot (PAD_POS for unwritten/padding slots) — this is what lets
+    right-padded bucketed prompts coexist with a static-shape cache: padded
+    slots are written but carry PAD_POS and are never attended.
+    """
 
     cache: KVCache
     offset: jnp.ndarray  # scalar int32: number of cache slots written
+    kv_pos: jnp.ndarray  # (B, max_seq) int32
 
 
 def init_frame_state(
     args: ModelArgs, batch_size: int, dtype=jnp.bfloat16, max_seq_len: int | None = None
 ) -> FrameState:
+    cache = init_kv_cache(args.backbone, batch_size, dtype, max_seq_len)
     return FrameState(
-        cache=init_kv_cache(args.backbone, batch_size, dtype, max_seq_len),
+        cache=cache,
         offset=jnp.zeros((), jnp.int32),
+        kv_pos=jnp.full((batch_size, cache.max_seq_len), PAD_POS, jnp.int32),
     )
 
 
@@ -130,6 +144,7 @@ def generate_frame(
     temperature: float | jnp.ndarray,
     topk: int,
     compute_dtype=jnp.bfloat16,
+    last_idx: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, FrameState]:
     """Generate one 32-codebook audio frame (jittable).
 
@@ -139,10 +154,13 @@ def generate_frame(
 
     Args:
         tokens/tokens_mask: (B, S, K+1) current input frame(s).
-        input_pos: (B, S) absolute positions (RoPE + causal mask).
+        input_pos: (B, S) absolute positions (RoPE + causal mask).  Padding
+            rows (right-padded bucketed prompts) must carry PAD_POS.
         state: backbone cache + write offset (new tokens are written at
             ``state.offset``; callers keep input_pos == offset..offset+S).
         temperature/topk: sampling params (topk static).
+        last_idx: (B,) index of the last REAL prompt row within ``tokens``
+            (None → S-1, the decode-step case).
 
     Returns:
         ((B, K) int32 sampled codes, updated FrameState)
@@ -155,14 +173,21 @@ def generate_frame(
 
     # ---- backbone incremental step ----
     h = masked_embed_sum(params, args, tokens, tokens_mask).astype(compute_dtype)
-    kv_pos = jnp.arange(state.cache.max_seq_len)
-    bb_mask = causal_mask_from_positions(input_pos, kv_pos)
+    new_kv_pos = jax.lax.dynamic_update_slice(
+        state.kv_pos,
+        input_pos.astype(jnp.int32),
+        (jnp.zeros((), jnp.int32), state.offset),
+    )
+    bb_mask = causal_mask_from_positions(input_pos, new_kv_pos)
     h, new_cache = transformer_apply(
         params["backbone"], bb, h, input_pos, bb_mask, state.cache, state.offset
     )
-    new_state = FrameState(new_cache, state.offset + S)
+    new_state = FrameState(new_cache, state.offset + S, new_kv_pos)
 
-    last_h = h[:, -1, :]  # (B, E_b)
+    if last_idx is None:
+        last_h = h[:, -1, :]  # (B, E_b)
+    else:
+        last_h = h[jnp.arange(B), last_idx, :]
 
     # ---- codebook 0 from the backbone head ----
     c0_logits = last_h @ params["codebook0_head"]

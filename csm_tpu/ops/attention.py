@@ -56,14 +56,18 @@ def gqa_attention(
 def causal_mask_from_positions(
     q_pos: jnp.ndarray, kv_pos: jnp.ndarray
 ) -> jnp.ndarray:
-    """mask[b, i, j] = kv_pos[j] <= q_pos[b, i].
+    """mask[b, i, j] = kv_pos[b, j] <= q_pos[b, i].
 
     This is the reference's ``_index_causal_mask`` of a tril buffer
     (src/csm/models/model.py:59-76) without materializing the
-    (max_seq, max_seq) table.
+    (max_seq, max_seq) table.  Padding slots carry a large sentinel
+    position (csm_tpu.models.csm.PAD_POS) and are therefore never
+    attended by any real query.
 
     Args:
         q_pos: (B, S) int query positions.
-        kv_pos: (T,) int key positions.
+        kv_pos: (T,) or (B, T) int key positions.
     """
-    return kv_pos[None, None, :] <= q_pos[:, :, None]
+    if kv_pos.ndim == 1:
+        kv_pos = kv_pos[None, :]
+    return kv_pos[:, None, :] <= q_pos[:, :, None]
