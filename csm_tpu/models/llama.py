@@ -113,6 +113,7 @@ def transformer_apply(
     mask: jnp.ndarray,
     cache: Optional[KVCache] = None,
     cache_offset: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the transformer.
 
@@ -124,12 +125,18 @@ def transformer_apply(
         cache: optional KVCache; if given, new K/V are written at
             ``cache_offset`` and attention runs over the full cache.
         cache_offset: scalar int32 write offset into the cache.
+        remat: rematerialize each layer on the backward pass
+            (jax.checkpoint over the scanned layer body) — trades FLOPs
+            for HBM during training.
 
     Returns:
         (h_out (B, S, E), updated cache or None)
     """
-    pos = positions if positions.ndim == 1 else positions[0]
-    cos, sin = rope_at_positions(cfg, pos)
+    # Per-row position tables: rows of a batch may sit at different absolute
+    # positions (bucketed prompts of different lengths, per-row decode
+    # offsets) — cos/sin are (B, S, D/2) in that case.  Out-of-range PAD_POS
+    # indices clamp harmlessly (those slots are never attended).
+    cos, sin = rope_at_positions(cfg, positions)
 
     layer_names = ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "sa_norm", "mlp_norm")
     stacked = {name: params[name] for name in layer_names}
@@ -152,6 +159,8 @@ def transformer_apply(
             h_new, _ = _layer_forward(carry, lp, cfg, cos, sin, mask, None, None)
             return h_new, None
 
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, stacked)
         new_cache = None
 

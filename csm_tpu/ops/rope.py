@@ -112,8 +112,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
     Args:
         x: (..., seq, num_heads, head_dim)
-        cos/sin: broadcastable to (..., seq, 1, head_dim // 2) —
-            typically (seq, head_dim//2) indexed by position.
+        cos/sin: (seq, head_dim//2) or (batch, seq, head_dim//2) position
+            tables — a heads axis is inserted here so they broadcast against
+            x's (..., seq, num_heads, head_dim//2).
 
     Returns same shape/dtype as x (rotation computed in float32).
     """
@@ -121,9 +122,8 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     xf = x.astype(jnp.float32)
     half = xf.shape[-1] // 2
     x1, x2 = xf[..., :half], xf[..., half:]
-    if cos.ndim == 2:  # (seq, D/2) -> broadcast over heads
-        cos = cos[..., :, None, :]
-        sin = sin[..., :, None, :]
+    cos = jnp.expand_dims(cos, -2)  # broadcast over heads
+    sin = jnp.expand_dims(sin, -2)
     out1 = x1 * cos - x2 * sin
     out2 = x2 * cos + x1 * sin
     return jnp.concatenate([out1, out2], axis=-1).astype(dtype)

@@ -111,9 +111,11 @@ def test_batch_rows_independent(tiny_model):
     rng = np.random.default_rng(9)
     S_pad, max_frames = 8, 3
 
+    # Row 1 intentionally LONGER than row 0: regression for the per-row RoPE
+    # bug (positions beyond row 0's length must still get correct tables).
     toks = np.zeros((2, S_pad, K + 1), np.int32)
     msk = np.zeros((2, S_pad, K + 1), bool)
-    lens = np.array([6, 4], np.int32)
+    lens = np.array([4, 6], np.int32)
     for b, t in enumerate(lens):
         toks[b, :t, -1] = rng.integers(1, args.text_vocab_size, t)
         msk[b, :t, -1] = True
@@ -123,14 +125,16 @@ def test_batch_rows_independent(tiny_model):
         jnp.asarray(lens), max_frames=max_frames, temperature=1.0, topk=1,
         compute_dtype=jnp.float32,
     )
-    res1 = generate_audio_tokens(
-        params, args, jax.random.key(5), jnp.asarray(toks[:1]),
-        jnp.asarray(msk[:1]), jnp.asarray(lens[:1]), max_frames=max_frames,
-        temperature=1.0, topk=1, compute_dtype=jnp.float32,
-    )
-    np.testing.assert_array_equal(
-        np.asarray(res2.frames)[0], np.asarray(res1.frames)[0]
-    )
+    for b in range(2):
+        res1 = generate_audio_tokens(
+            params, args, jax.random.key(5), jnp.asarray(toks[b : b + 1]),
+            jnp.asarray(msk[b : b + 1]), jnp.asarray(lens[b : b + 1]),
+            max_frames=max_frames, temperature=1.0, topk=1,
+            compute_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res2.frames)[b], np.asarray(res1.frames)[0]
+        )
 
 
 def test_bucket_length():
