@@ -1,0 +1,110 @@
+"""Headline benchmark: CSM-1B generation RTF on one TPU chip.
+
+Reference baseline: ~2-3 frames/s => RTF ~0.2 on Apple Silicon MLX
+(reference README.md:275; see BASELINE.md).  North star: RTF >= 3 on one
+v5e chip.
+
+Measures the full decode path — bucketed prefill + compiled while_loop
+frame generation (backbone step + 31 decoder steps + 32 samples per
+80 ms frame) + Mimi SEANet decode to 24 kHz waveform — with random
+weights (identical compute to trained weights).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_RTF = 0.2  # Apple Silicon MLX baseline (BASELINE.md)
+FRAME_RATE = 12.5  # Mimi frames/s (reference src/csm/generator.py:173)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_decode, mimi_init
+    from csm_tpu.models import csm
+    from csm_tpu.models.config import csm_1b_args
+    from csm_tpu.models.generation import generate_audio_tokens
+
+    args = csm_1b_args()
+    dtype = jnp.bfloat16
+    K = args.audio_num_codebooks
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    params = jax.jit(
+        lambda k: csm.init_csm_params(k, args, dtype)
+    )(jax.random.key(0))
+    jax.block_until_ready(params["audio_head"])
+    log(f"params init: {time.time() - t0:.1f}s")
+
+    mimi_params = jax.jit(lambda k: mimi_init(k, CSM_MIMI_CONFIG, jnp.float32))(
+        jax.random.key(1)
+    )
+    jax.block_until_ready(mimi_params["quantizer"].semantic.embed_sum)
+
+    # 10 s utterance: 125 frames after a 64-token text prompt (BASELINE.json
+    # config 1: CSM-1B, single utterance, 10s max audio, temp 0.9, batch 1).
+    B, S, max_frames = 1, 64, 125
+    tokens = jnp.zeros((B, S, K + 1), jnp.int32).at[:, :, -1].set(5)
+    mask = jnp.zeros((B, S, K + 1), bool).at[:, :, -1].set(True)
+    lens = jnp.full((B,), S, jnp.int32)
+
+    gen = jax.jit(
+        lambda p, k: generate_audio_tokens(
+            p, args, k, tokens, mask, lens,
+            max_frames=max_frames, temperature=0.9, topk=50,
+            compute_dtype=dtype,
+        )
+    )
+    # CSM's audio vocab is 2051 (2048 codes + specials); clamp to the Mimi
+    # codebook range for decode.
+    dec = jax.jit(
+        lambda mp, codes: mimi_decode(
+            mp, jnp.minimum(codes, CSM_MIMI_CONFIG.codebook_size - 1),
+            CSM_MIMI_CONFIG,
+        )
+    )
+
+    t0 = time.time()
+    res = gen(params, jax.random.key(2))
+    audio = dec(mimi_params, res.frames.transpose(0, 2, 1))
+    jax.block_until_ready(audio)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # Timed runs.
+    n_runs, best = 3, float("inf")
+    for i in range(n_runs):
+        t0 = time.time()
+        res = gen(params, jax.random.key(3 + i))
+        audio = dec(mimi_params, res.frames.transpose(0, 2, 1))
+        jax.block_until_ready(audio)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"run {i}: {dt:.3f}s ({max_frames / dt:.1f} frames/s)")
+
+    audio_seconds = max_frames / FRAME_RATE
+    rtf = audio_seconds / best
+    print(
+        json.dumps(
+            {
+                "metric": "csm1b_generate_rtf",
+                "value": round(rtf, 3),
+                "unit": "audio_sec/wall_sec",
+                "vs_baseline": round(rtf / REFERENCE_RTF, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""End-to-end TTS generation pipeline.
+
+Capability equivalent of the reference ``Generator``/``Segment``/
+``load_csm_1b`` (src/csm/generator.py): contextual prompt assembly in the
+(T, 33) frame format, autoregressive frame generation, Mimi decode to a
+24 kHz waveform, optional watermarking.
+
+TPU-first differences:
+  * the frame loop is ONE compiled ``lax.while_loop``
+    (csm_tpu/models/generation.py) — the reference steps Python per frame
+    with a host sync each 80 ms (src/csm/generator.py:196-207);
+  * prompts pad to static buckets (compile-count control);
+  * batch size is a constructor argument — the reference hardwires
+    ``setup_caches(1)`` (src/csm/generator.py:62); ``generate_batch``
+    synthesizes many utterances per call for serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_tpu.data import frames as fr
+from csm_tpu.data.tokenizers import MimiAudioTokenizer, load_text_tokenizer
+from csm_tpu.models.config import ModelArgs, csm_1b_args
+from csm_tpu.models.generation import (
+    PROMPT_BUCKETS,
+    bucket_length,
+    generate_audio_tokens_jit,
+)
+
+SAMPLE_RATE = 24_000
+FRAME_RATE = 12.5
+MS_PER_FRAME = 80.0
+
+
+@dataclasses.dataclass
+class Segment:
+    """One conversational turn (reference: src/csm/generator.py:18-25)."""
+
+    speaker: int
+    text: str
+    audio: np.ndarray  # float32 mono at 24 kHz
+
+
+class Generator:
+    """Contextual speech generator.
+
+    Args:
+        params: CSM parameter tree (csm_tpu.models.csm layout).
+        args: ModelArgs.
+        mimi: MimiAudioTokenizer (encode for context audio, decode for
+            output).  Required for real audio; tests may inject fakes.
+        text_tokenizer: .encode(str)->list[int]; defaults to the Llama-3.2
+            tokenizer (byte-level fallback offline).
+        watermarker: optional callable (audio, sr) -> (audio, sr) applied
+            to generated audio (reference: src/csm/generator.py:211-217).
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        args: Optional[ModelArgs] = None,
+        mimi: Optional[MimiAudioTokenizer] = None,
+        text_tokenizer=None,
+        watermarker=None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.args = args or csm_1b_args()
+        self.mimi = mimi
+        self.text_tokenizer = text_tokenizer or load_text_tokenizer()
+        self.watermarker = watermarker
+        self.compute_dtype = compute_dtype
+        self.sample_rate = SAMPLE_RATE
+        self.max_seq_len = self.args.backbone.max_seq_len
+        self.last_stats: dict = {}
+
+    # ---- prompt assembly (reference: src/csm/generator.py:77-145) ----
+
+    def _segment_frames(self, seg: Segment):
+        ids = self.text_tokenizer.encode(f"[{seg.speaker}]{seg.text}")
+        if self.mimi is None:
+            raise ValueError("context audio requires a Mimi tokenizer")
+        codes = self.mimi.encode(np.asarray(seg.audio, np.float32))
+        return fr.segment_frames(self.args, ids, codes)
+
+    def _build_prompt(self, text: str, speaker: int, context: List[Segment]):
+        parts = [self._segment_frames(s) for s in context]
+        ids = self.text_tokenizer.encode(f"[{speaker}]{text}")
+        parts.append(fr.text_frames(self.args, ids))
+        return fr.concat_frames(parts)
+
+    # ---- generation ----
+
+    def generate(
+        self,
+        text: str,
+        speaker: int = 0,
+        context: Optional[List[Segment]] = None,
+        max_audio_length_ms: float = 90_000,
+        temperature: float = 0.9,
+        topk: int = 50,
+        key: Optional[jax.Array] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Generate a 24 kHz waveform (reference: src/csm/generator.py:147-218)."""
+        return self.generate_batch(
+            [text],
+            [speaker],
+            [context or []],
+            max_audio_length_ms=max_audio_length_ms,
+            temperature=temperature,
+            topk=topk,
+            key=key,
+            seed=seed,
+        )[0]
+
+    def generate_batch(
+        self,
+        texts: List[str],
+        speakers: List[int],
+        contexts: Optional[List[List[Segment]]] = None,
+        max_audio_length_ms: float = 90_000,
+        temperature: float = 0.9,
+        topk: int = 50,
+        key: Optional[jax.Array] = None,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Batched generation — N utterances in one compiled decode."""
+        t_start = time.time()
+        contexts = contexts or [[] for _ in texts]
+        max_frames = int(max_audio_length_ms / MS_PER_FRAME)
+        K = self.args.audio_num_codebooks
+
+        prompts = [
+            self._build_prompt(t, s, c)
+            for t, s, c in zip(texts, speakers, contexts)
+        ]
+        lens = np.array([p[0].shape[0] for p in prompts], np.int32)
+        limit = self.max_seq_len - max_frames
+        if int(lens.max()) >= limit:
+            # Contract from the reference (src/csm/generator.py:192-194):
+            # the prompt must leave room for the full audio budget.
+            raise ValueError(
+                f"prompt too long: {int(lens.max())} >= {limit} "
+                f"({self.max_seq_len} - {max_frames} audio frames)"
+            )
+
+        S_pad = bucket_length(
+            int(lens.max()), tuple(b for b in PROMPT_BUCKETS if b <= self.max_seq_len)
+        )
+        B = len(prompts)
+        tokens = np.zeros((B, S_pad, K + 1), np.int32)
+        mask = np.zeros((B, S_pad, K + 1), bool)
+        for b, (tk, mk) in enumerate(prompts):
+            tokens[b, : tk.shape[0]] = tk
+            mask[b, : mk.shape[0]] = mk
+
+        if key is None:
+            key = jax.random.key(seed)
+        t_tok = time.time()
+        res = generate_audio_tokens_jit(
+            self.params,
+            self.args,
+            key,
+            jnp.asarray(tokens),
+            jnp.asarray(mask),
+            jnp.asarray(lens),
+            max_frames=max_frames,
+            temperature=temperature,
+            topk=topk,
+            compute_dtype=self.compute_dtype,
+        )
+        frames = np.asarray(res.frames)  # (B, max_frames, K)
+        nf = np.asarray(res.num_frames)
+        t_gen = time.time()
+
+        outs: List[np.ndarray] = []
+        for b in range(B):
+            n = int(nf[b])
+            if n == 0:
+                outs.append(np.zeros(0, np.float32))
+                continue
+            if self.mimi is None:
+                raise ValueError("decoding audio requires a Mimi tokenizer")
+            audio = self.mimi.decode(frames[b, :n].T)  # (K, n) -> (T,)
+            audio = audio[: int(n / FRAME_RATE * self.sample_rate)]
+            if self.watermarker is not None:
+                audio, _ = self.watermarker(audio, self.sample_rate)
+            outs.append(np.asarray(audio, np.float32))
+
+        wall = time.time() - t_start
+        total_audio = sum(len(o) for o in outs) / self.sample_rate
+        self.last_stats = {
+            "wall_s": wall,
+            "tokenize_s": t_tok - t_start,
+            "generate_s": t_gen - t_tok,
+            "decode_s": time.time() - t_gen,
+            "audio_s": total_audio,
+            "frames": int(nf.sum()),
+            "frames_per_s": float(nf.sum()) / max(t_gen - t_tok, 1e-9),
+            "rtf": total_audio / max(wall, 1e-9),
+        }
+        return outs
+
+
+def load_csm_1b(
+    ckpt_path: Optional[str] = None,
+    mimi_path: Optional[str] = None,
+    watermarker=None,
+    compute_dtype=jnp.bfloat16,
+) -> Generator:
+    """Build a CSM-1B Generator (reference: src/csm/generator.py:221-244).
+
+    ``ckpt_path`` — reference ``ckpt.pt`` (torchtune names) or an orbax
+    checkpoint directory; None → random init (no network egress here, so
+    there is no HF auto-download — pass local files).
+    ``mimi_path`` — Mimi safetensors/pt checkpoint; None → random init.
+    """
+    from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_init
+
+    args = csm_1b_args()
+    if ckpt_path is None:
+        params = jax.jit(lambda: _cast(_random_params(args), compute_dtype))()
+    elif ckpt_path.endswith(".pt"):
+        from csm_tpu.utils.checkpoint_compat import load_torch_checkpoint
+
+        params = _cast(load_torch_checkpoint(ckpt_path, args), compute_dtype)
+    else:
+        from csm_tpu.training.checkpoint import load_params
+
+        params, args = load_params(ckpt_path)
+        params = _cast(params, compute_dtype)
+
+    if mimi_path is None:
+        mimi_params = mimi_init(jax.random.key(1), CSM_MIMI_CONFIG)
+    else:
+        from csm_tpu.codec.convert import load_mimi_checkpoint
+
+        mimi_params = load_mimi_checkpoint(mimi_path)
+
+    mimi = MimiAudioTokenizer(mimi_params)
+    return Generator(
+        params, args, mimi=mimi, watermarker=watermarker,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _random_params(args: ModelArgs):
+    from csm_tpu.models.csm import init_csm_params
+
+    return init_csm_params(jax.random.key(0), args)
+
+
+def _cast(params, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, params
+    )

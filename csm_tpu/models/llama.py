@@ -74,16 +74,32 @@ def _layer_forward(
     mask: jnp.ndarray,
     kv_layer: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     cache_offset: Optional[jnp.ndarray],
+    lora: Optional[dict] = None,
+    lora_scale: float = 0.0,
 ):
-    """One transformer block. Returns (h, (k_cache, v_cache)|None)."""
+    """One transformer block. Returns (h, (k_cache, v_cache)|None).
+
+    ``lora`` — optional {proj_name: {"a": (in, r), "b": (r, out)}} low-rank
+    adapters for this layer (csm_tpu/training/lora.py).  The adapter path
+    is computed low-rank — (x @ a) @ b — so only a/b receive gradients and
+    no merged weight is materialized (capability of the reference
+    LoRALinear, src/csm/mlx/components/lora.py:71-105, built the XLA way).
+    """
     B, S, E = h.shape
     D = cfg.head_dim
 
+    def proj(x, name):
+        y = x @ lp[name]
+        if lora is not None and name in lora:
+            ad = lora[name]
+            y = y + ((x @ ad["a"]) @ ad["b"]) * lora_scale
+        return y
+
     # --- attention ---
     x = rms_norm(h, lp["sa_norm"], cfg.norm_eps)
-    q = (x @ lp["wq"]).reshape(B, S, cfg.num_heads, D)
-    k = (x @ lp["wk"]).reshape(B, S, cfg.num_kv_heads, D)
-    v = (x @ lp["wv"]).reshape(B, S, cfg.num_kv_heads, D)
+    q = proj(x, "wq").reshape(B, S, cfg.num_heads, D)
+    k = proj(x, "wk").reshape(B, S, cfg.num_kv_heads, D)
+    v = proj(x, "wv").reshape(B, S, cfg.num_kv_heads, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -95,13 +111,13 @@ def _layer_forward(
         attn = gqa_attention(q, k, v, mask)
         new_kv = None
 
-    h = h + attn.reshape(B, S, cfg.num_heads * D) @ lp["wo"]
+    h = h + proj(attn.reshape(B, S, cfg.num_heads * D), "wo")
 
     # --- SwiGLU MLP ---
     x = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(x @ lp["w1"])
-    up = x @ lp["w3"]
-    h = h + (gate * up) @ lp["w2"]
+    gate = jax.nn.silu(proj(x, "w1"))
+    up = proj(x, "w3")
+    h = h + proj(gate * up, "w2")
     return h, new_kv
 
 
@@ -114,6 +130,8 @@ def transformer_apply(
     cache: Optional[KVCache] = None,
     cache_offset: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    lora: Optional[dict] = None,
+    lora_scale: float = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the transformer.
 
@@ -128,6 +146,10 @@ def transformer_apply(
         remat: rematerialize each layer on the backward pass
             (jax.checkpoint over the scanned layer body) — trades FLOPs
             for HBM during training.
+        lora: optional layer-stacked low-rank adapters
+            {proj: {"a": (L, in, r), "b": (L, r, out)}}; scanned alongside
+            the base weights.
+        lora_scale: alpha / r.
 
     Returns:
         (h_out (B, S, E), updated cache or None)
@@ -142,26 +164,32 @@ def transformer_apply(
     stacked = {name: params[name] for name in layer_names}
 
     if cache is not None:
-        xs = (stacked, cache.k, cache.v)
+        xs = (stacked, lora, cache.k, cache.v)
 
         def body(carry, x):
-            lp, kc, vc = x
+            lp, lo, kc, vc = x
             h_new, kv = _layer_forward(
-                carry, lp, cfg, cos, sin, mask, (kc, vc), cache_offset
+                carry, lp, cfg, cos, sin, mask, (kc, vc), cache_offset,
+                lora=lo, lora_scale=lora_scale,
             )
             return h_new, kv
 
         h, (new_k, new_v) = jax.lax.scan(body, h, xs)
         new_cache = KVCache(new_k, new_v)
     else:
+        xs = (stacked, lora)
 
-        def body(carry, lp):
-            h_new, _ = _layer_forward(carry, lp, cfg, cos, sin, mask, None, None)
+        def body(carry, x):
+            lp, lo = x
+            h_new, _ = _layer_forward(
+                carry, lp, cfg, cos, sin, mask, None, None,
+                lora=lo, lora_scale=lora_scale,
+            )
             return h_new, None
 
         if remat:
             body = jax.checkpoint(body)
-        h, _ = jax.lax.scan(body, h, stacked)
+        h, _ = jax.lax.scan(body, h, xs)
         new_cache = None
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)

@@ -1,0 +1,107 @@
+"""Checkpoint save / load / resume (orbax-backed).
+
+Logical artifacts mirror the reference contract (SURVEY.md §5.4):
+a checkpoint holds model params + optimizer state + epoch + global step +
+loss (reference: src/csm/training/utils.py:526-574), with a ``latest``
+pointer for resume (reference ``_latest.pt`` / ``_latest.json``); the
+trainer writes best / per-epoch / final checkpoints
+(src/csm/training/trainer.py:289-355).
+
+TPU-native: orbax writes sharded arrays directly from device memory
+(preemption-safe, multi-host aware); restore accepts an abstract template
+so arrays land with their target shardings — this replaces the reference's
+fallback-ladder checkpoint loaders (src/csm/training/utils.py:989-1143).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from csm_tpu.models.config import ModelArgs
+from csm_tpu.training.optimizer import TrainState
+
+LATEST_FILE = "latest.json"
+
+
+def _ckpt_path(ckpt_dir: str, name: str) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), name)
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    name: str,
+    state: TrainState,
+    args: ModelArgs,
+    epoch: int = 0,
+    global_step: int = 0,
+    loss: float = 0.0,
+) -> str:
+    """Write a named checkpoint and update the ``latest`` pointer."""
+    path = _ckpt_path(ckpt_dir, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tree = {"params": state.params}
+    if state.opt_state is not None and jax.tree.leaves(state.opt_state):
+        tree["opt_state"] = state.opt_state
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    meta = {
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+        "step": int(state.step),
+        "loss": float(loss),
+        "model_args": json.loads(args.to_json()),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(os.path.abspath(ckpt_dir), LATEST_FILE), "w") as f:
+        json.dump({"latest": name}, f)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    p = os.path.join(os.path.abspath(ckpt_dir), LATEST_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _ckpt_path(ckpt_dir, json.load(f)["latest"])
+
+
+def load_checkpoint(
+    path: str, template: Optional[dict] = None
+) -> tuple[TrainState, dict]:
+    """Restore (TrainState, meta).
+
+    ``template`` — optional {"params": ..., "opt_state": ...} abstract tree
+    (e.g. from jax.eval_shape, leaves may carry shardings) controlling
+    restore placement; without it arrays restore host-local.
+    """
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            restored = ckptr.restore(
+                path, ocp.args.PyTreeRestore(
+                    item=template,
+                    restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+                )
+            )
+        else:
+            restored = ckptr.restore(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    state = TrainState(
+        params=restored["params"],
+        opt_state=restored.get("opt_state"),
+        step=jax.numpy.asarray(meta.get("step", 0), jax.numpy.int32),
+    )
+    return state, meta
+
+
+def load_params(path: str) -> tuple[dict, ModelArgs]:
+    """Restore params-only + model args (for inference / LoRA base)."""
+    state, meta = load_checkpoint(path)
+    return state.params, ModelArgs.from_json(json.dumps(meta["model_args"]))

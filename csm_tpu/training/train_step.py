@@ -1,0 +1,132 @@
+"""Jitted train / eval steps for CSM.
+
+The reference's hot loop is Python per batch — forward, backward, clip,
+step (src/csm/training/trainer.py:252-287).  Here each optimizer step is
+ONE compiled XLA program: loss (semantic + amortized acoustic), backward,
+global-norm clip, per-component AdamW update — with the train state
+donated so parameters update in place in HBM.
+
+Multi-chip: callers place ``state``/``batch`` on a mesh
+(csm_tpu/parallel/sharding.py) and the same jitted step runs SPMD —
+gradient all-reduce over the ``data`` axis and tensor-parallel collectives
+over ``model`` are inserted by XLA from the input shardings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from csm_tpu.models.config import ModelArgs
+from csm_tpu.training.losses import Batch, compute_loss
+from csm_tpu.training.optimizer import TrainState
+
+
+def make_train_step(
+    args: ModelArgs,
+    tx: optax.GradientTransformation,
+    semantic_weight: float = 100.0,
+    acoustic_weight: float = 1.0,
+    amortization_ratio: int = 16,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> Callable:
+    """Returns jitted ``step(state, key, batch) -> (state, metrics)``."""
+
+    def loss_fn(params, key, batch):
+        return compute_loss(
+            params,
+            args,
+            key,
+            batch,
+            semantic_weight=semantic_weight,
+            acoustic_weight=acoustic_weight,
+            amortization_ratio=amortization_ratio,
+            compute_dtype=compute_dtype,
+            remat=remat,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, key: jax.Array, batch: Batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, batch
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_lora_train_step(
+    args: ModelArgs,
+    tx: optax.GradientTransformation,
+    lora_scale: float,
+    semantic_weight: float = 100.0,
+    acoustic_weight: float = 1.0,
+    amortization_ratio: int = 16,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> Callable:
+    """Jitted ``step(lora_state, base_params, key, batch)`` — differentiates
+    ONLY the adapter tree; the frozen base rides along un-donated
+    (reference: src/csm/training/lora_trainer.py:374-457)."""
+
+    def loss_fn(lora, base_params, key, batch):
+        return compute_loss(
+            base_params,
+            args,
+            key,
+            batch,
+            semantic_weight=semantic_weight,
+            acoustic_weight=acoustic_weight,
+            amortization_ratio=amortization_ratio,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            lora=lora,
+            lora_scale=lora_scale,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, base_params, key: jax.Array, batch: Batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, base_params, key, batch
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        lora = optax.apply_updates(state.params, updates)
+        return TrainState(lora, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_eval_step(
+    args: ModelArgs,
+    semantic_weight: float = 100.0,
+    acoustic_weight: float = 1.0,
+    amortization_ratio: int = 16,
+    compute_dtype=jnp.bfloat16,
+) -> Callable:
+    """Returns jitted ``eval_step(params, key, batch) -> metrics``
+    (reference validation pass: src/csm/training/trainer.py:359-394)."""
+
+    @jax.jit
+    def eval_step(params, key: jax.Array, batch: Batch):
+        _, metrics = compute_loss(
+            params,
+            args,
+            key,
+            batch,
+            semantic_weight=semantic_weight,
+            acoustic_weight=acoustic_weight,
+            amortization_ratio=amortization_ratio,
+            compute_dtype=compute_dtype,
+        )
+        return metrics
+
+    return eval_step

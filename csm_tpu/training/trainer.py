@@ -1,0 +1,432 @@
+"""High-level trainers: full fine-tune and LoRA.
+
+Capability equivalent of the reference ``CSMTrainer``
+(src/csm/training/trainer.py:26-434) and ``CSMLoRATrainer``
+(src/csm/training/lora_trainer.py:29-822): epoch loop with gradient
+accumulation, clipping, periodic validation with best-checkpoint saving,
+periodic/epoch/final checkpoints, resume, and sample generation.
+
+TPU-first: the per-batch work is ONE jitted step (train_step.py); the
+trainer is a thin host loop feeding bucketed batches.  Checkpoints are
+orbax (sharded, preemption-safe) instead of .pt files.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_tpu.models.config import ModelArgs, csm_1b_args
+from csm_tpu.training import checkpoint as ckpt
+from csm_tpu.training import lora as lora_mod
+from csm_tpu.training.dataset_utils import as_batches
+from csm_tpu.training.optimizer import (
+    TrainState,
+    init_train_state,
+    make_lora_optimizer,
+    make_optimizer,
+)
+from csm_tpu.training.train_step import (
+    make_eval_step,
+    make_lora_train_step,
+    make_train_step,
+)
+
+
+def setup_logger(name: str, log_file: Optional[str] = None, level=logging.INFO):
+    """Console+file logger (reference: src/csm/training/utils.py:14-53)."""
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class CSMTrainer:
+    """Full-parameter trainer (reference: src/csm/training/trainer.py:26).
+
+    Args mirror the reference surface: model path, output dir, base LR,
+    per-component multipliers, semantic/acoustic weights.
+    """
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        output_dir: str = "./output",
+        learning_rate: float = 1e-5,
+        backbone_lr_multiplier: float = 0.1,
+        decoder_lr_multiplier: float = 1.0,
+        embedding_lr_multiplier: float = 0.5,
+        semantic_weight: float = 100.0,
+        acoustic_weight: float = 1.0,
+        weight_decay: float = 0.01,
+        args: Optional[ModelArgs] = None,
+        params: Optional[dict] = None,
+        compute_dtype=jnp.bfloat16,
+        remat: bool = True,
+        log_file: Optional[str] = None,
+    ):
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.logger = setup_logger(
+            self.__class__.__name__,
+            log_file or os.path.join(output_dir, "training.log"),
+        )
+        self.learning_rate = learning_rate
+        self.lr_multipliers = {
+            "backbone": backbone_lr_multiplier,
+            "decoder": decoder_lr_multiplier,
+            "embeddings": embedding_lr_multiplier,
+            "other": 1.0,
+        }
+        self.semantic_weight = semantic_weight
+        self.acoustic_weight = acoustic_weight
+        self.weight_decay = weight_decay
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+
+        self.args, self.params = self._load_model(model_path, args, params)
+        self.tx = None
+        self.state: Optional[TrainState] = None
+        self.epoch = 0
+        self.global_step = 0
+        self.best_val_loss = float("inf")
+
+    # ---- model loading (reference: trainer.py:90-121) ----
+
+    def _load_model(self, model_path, args, params):
+        if params is not None:
+            return args or csm_1b_args(), params
+        if model_path is None:
+            args = args or csm_1b_args()
+            from csm_tpu.models.csm import init_csm_params
+
+            self.logger.info("random-initializing model (no model_path)")
+            return args, jax.jit(
+                lambda: init_csm_params(jax.random.key(0), args, jnp.float32)
+            )()
+        if model_path.endswith(".pt"):
+            from csm_tpu.utils.checkpoint_compat import load_torch_checkpoint
+
+            args = args or csm_1b_args()
+            self.logger.info(f"loading torch checkpoint {model_path}")
+            return args, jax.tree.map(
+                jnp.asarray, load_torch_checkpoint(model_path, args)
+            )
+        self.logger.info(f"loading orbax checkpoint {model_path}")
+        params, args = ckpt.load_params(model_path)
+        return args, params
+
+    # ---- optimizer (reference: trainer.py:123-173) ----
+
+    def prepare_optimizer(
+        self,
+        freeze_backbone: bool = False,
+        freeze_decoder: bool = False,
+        freeze_embeddings: bool = False,
+        max_grad_norm: float = 1.0,
+        accumulation_steps: int = 1,
+    ):
+        self.tx = make_optimizer(
+            self.params,
+            learning_rate=self.learning_rate,
+            weight_decay=self.weight_decay,
+            max_grad_norm=max_grad_norm,
+            lr_multipliers=self.lr_multipliers,
+            freeze_backbone=freeze_backbone,
+            freeze_decoder=freeze_decoder,
+            freeze_embeddings=freeze_embeddings,
+            accumulation_steps=accumulation_steps,
+        )
+        self.state = init_train_state(self.params, self.tx)
+        self._step_fn = make_train_step(
+            self.args,
+            self.tx,
+            semantic_weight=self.semantic_weight,
+            acoustic_weight=self.acoustic_weight,
+            compute_dtype=self.compute_dtype,
+            remat=self.remat,
+        )
+        self._eval_fn = make_eval_step(
+            self.args,
+            semantic_weight=self.semantic_weight,
+            acoustic_weight=self.acoustic_weight,
+            compute_dtype=self.compute_dtype,
+        )
+        return self.tx
+
+    def _run_step(self, key, batch):
+        self.state, metrics = self._step_fn(self.state, key, batch)
+        return metrics
+
+    def _params_for_eval(self):
+        return self.state.params
+
+    # ---- training loop (reference: trainer.py:175-357) ----
+
+    def train(
+        self,
+        train_dataset,
+        val_dataset=None,
+        batch_size: int = 2,
+        epochs: int = 1,
+        val_every: int = 100,
+        save_every: int = 500,
+        max_grad_norm: float = 1.0,
+        accumulation_steps: int = 1,
+        resume_from: Optional[str] = None,
+        seed: int = 0,
+    ) -> float:
+        if self.state is None:
+            self.prepare_optimizer(
+                max_grad_norm=max_grad_norm, accumulation_steps=accumulation_steps
+            )
+        if resume_from:
+            self.load_checkpoint(resume_from)
+
+        last_loss = float("nan")
+        for epoch in range(self.epoch, epochs):
+            self.epoch = epoch
+            t_epoch = time.time()
+            n_batches = 0
+            for batch in as_batches(
+                train_dataset, batch_size, shuffle=True, seed=seed + epoch
+            ):
+                key = jax.random.fold_in(jax.random.key(seed), self.global_step)
+                metrics = self._run_step(key, batch)
+                self.global_step += 1
+                n_batches += 1
+                last_loss = float(metrics["loss"])
+
+                if self.global_step % 10 == 0:
+                    self.logger.info(
+                        f"epoch {epoch} step {self.global_step} "
+                        f"loss {last_loss:.4f} "
+                        f"sem {float(metrics['semantic_loss']):.4f} "
+                        f"ac {float(metrics['acoustic_loss']):.4f}"
+                    )
+                if val_dataset is not None and self.global_step % val_every == 0:
+                    val_loss = self.validate(val_dataset, batch_size, seed=seed)
+                    if val_loss < self.best_val_loss:
+                        self.best_val_loss = val_loss
+                        self.save_checkpoint("best")
+                if self.global_step % save_every == 0:
+                    self.save_checkpoint(f"step_{self.global_step}")
+
+            dt = time.time() - t_epoch
+            self.logger.info(
+                f"epoch {epoch} done: {n_batches} batches in {dt:.1f}s "
+                f"({n_batches * batch_size / max(dt, 1e-9):.2f} samples/s)"
+            )
+            self.save_checkpoint(f"epoch_{epoch}")
+
+        self.save_checkpoint("final")
+        return last_loss
+
+    def validate(self, val_dataset, batch_size: int = 2, seed: int = 0) -> float:
+        """Reference: src/csm/training/trainer.py:359-394."""
+        losses, params = [], self._params_for_eval()
+        for i, batch in enumerate(
+            as_batches(val_dataset, batch_size, shuffle=False)
+        ):
+            m = self._eval_fn(params, jax.random.fold_in(jax.random.key(seed), i), batch)
+            losses.append(float(m["loss"]))
+        val = float(np.mean(losses)) if losses else float("nan")
+        self.logger.info(f"validation loss {val:.4f}")
+        return val
+
+    # ---- checkpointing (reference: utils.py:526-574,864-895) ----
+
+    def save_checkpoint(self, name: str) -> str:
+        path = ckpt.save_checkpoint(
+            os.path.join(self.output_dir, "checkpoints"),
+            name,
+            self.state,
+            self.args,
+            epoch=self.epoch,
+            global_step=self.global_step,
+            loss=self.best_val_loss,
+        )
+        self.logger.info(f"saved checkpoint {path}")
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        if path is None or path == "latest":
+            path = ckpt.latest_checkpoint(os.path.join(self.output_dir, "checkpoints"))
+            if path is None:
+                raise FileNotFoundError("no latest checkpoint to resume from")
+        state, meta = ckpt.load_checkpoint(path)
+        self.state = state
+        self.epoch = meta.get("epoch", 0)
+        self.global_step = meta.get("global_step", 0)
+        self.best_val_loss = meta.get("loss", float("inf"))
+        self.logger.info(
+            f"resumed from {path} (epoch {self.epoch}, step {self.global_step})"
+        )
+
+    # ---- sample generation (reference: trainer.py:396-434) ----
+
+    def generate_sample(
+        self, text: str, speaker_id: int = 0, output_path: Optional[str] = None,
+        mimi=None, max_audio_length_ms: float = 5_000,
+    ):
+        from csm_tpu.generator import Generator
+
+        gen = Generator(
+            self._final_params(), self.args, mimi=mimi,
+            compute_dtype=self.compute_dtype,
+        )
+        audio = gen.generate(
+            text, speaker=speaker_id, max_audio_length_ms=max_audio_length_ms
+        )
+        if output_path:
+            from csm_tpu.data.audio import save_wav
+
+            save_wav(output_path, audio, gen.sample_rate)
+        return audio
+
+    def _final_params(self):
+        return self.state.params if self.state is not None else self.params
+
+
+class CSMLoRATrainer(CSMTrainer):
+    """LoRA fine-tuning trainer (reference:
+    src/csm/training/lora_trainer.py:29-822).  Optimizes ONLY adapter
+    params; ``save_model`` supports lora/full/both modes."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        output_dir: str = "./output",
+        learning_rate: float = 1e-4,
+        lora_r: int = 8,
+        lora_alpha: float = 16.0,
+        lora_dropout: float = 0.0,
+        target_modules=("q_proj", "v_proj"),
+        target_layers=None,
+        apply_to_backbone: bool = True,
+        apply_to_decoder: bool = True,
+        **kw,
+    ):
+        super().__init__(
+            model_path=model_path, output_dir=output_dir,
+            learning_rate=learning_rate, **kw,
+        )
+        self.lora_config = lora_mod.LoRAConfig(
+            r=lora_r,
+            alpha=lora_alpha,
+            dropout=lora_dropout,
+            target_modules=tuple(target_modules),
+            target_layers=None if target_layers is None else tuple(target_layers),
+            apply_to_backbone=apply_to_backbone,
+            apply_to_decoder=apply_to_decoder,
+        )
+        self.lora_params = lora_mod.init_lora_params(
+            jax.random.key(42), self.args, self.lora_config
+        )
+        eff = lora_mod.parameter_efficiency(self.params, self.lora_params)
+        self.logger.info(
+            f"LoRA r={lora_r} alpha={lora_alpha} targets={target_modules}: "
+            f"{lora_mod.count_params(self.lora_params):,} trainable params "
+            f"({eff * 100:.3f}% of base)"
+        )
+
+    def prepare_optimizer(
+        self, max_grad_norm: float = 1.0, accumulation_steps: int = 1, **_ignored
+    ):
+        self.tx = make_lora_optimizer(
+            learning_rate=self.learning_rate,
+            max_grad_norm=max_grad_norm,
+            accumulation_steps=accumulation_steps,
+        )
+        self.state = init_train_state(self.lora_params, self.tx)
+        self._lora_step_fn = make_lora_train_step(
+            self.args,
+            self.tx,
+            self.lora_config.scaling,
+            semantic_weight=self.semantic_weight,
+            acoustic_weight=self.acoustic_weight,
+            compute_dtype=self.compute_dtype,
+            remat=self.remat,
+        )
+        self._eval_fn = self._make_lora_eval()
+        return self.tx
+
+    def _make_lora_eval(self):
+        from csm_tpu.training.losses import compute_loss
+
+        scaling = self.lora_config.scaling
+        args = self.args
+        sw, aw, cd = self.semantic_weight, self.acoustic_weight, self.compute_dtype
+
+        @jax.jit
+        def eval_step(lora, key, batch):
+            _, m = compute_loss(
+                self.params, args, key, batch,
+                semantic_weight=sw, acoustic_weight=aw, compute_dtype=cd,
+                lora=lora, lora_scale=scaling,
+            )
+            return m
+
+        return eval_step
+
+    def _run_step(self, key, batch):
+        self.state, metrics = self._lora_step_fn(self.state, self.params, key, batch)
+        return metrics
+
+    def _params_for_eval(self):
+        return self.state.params  # the adapter tree
+
+    # ---- artifacts (reference: lora_trainer.py:459-633) ----
+
+    def save_model(self, path: str, save_mode: str = "lora") -> list[str]:
+        out = []
+        if save_mode in ("lora", "both"):
+            p = path + ("_lora" if save_mode == "both" else "")
+            out.append(
+                lora_mod.save_lora(p, self.state.params, self.lora_config, self.args)
+            )
+        if save_mode in ("full", "both"):
+            merged = lora_mod.merge_lora(
+                self.params, self.state.params, self.lora_config
+            )
+            p = path + ("_full" if save_mode == "both" else "")
+            out.append(
+                ckpt.save_checkpoint(
+                    os.path.dirname(p) or ".", os.path.basename(p),
+                    TrainState(merged, (), jnp.zeros((), jnp.int32)),
+                    self.args, epoch=self.epoch, global_step=self.global_step,
+                )
+            )
+        self.logger.info(f"saved model artifacts: {out}")
+        return out
+
+    def load_lora_weights(self, path: str):
+        lora, lcfg, _ = lora_mod.load_lora(path)
+        self.lora_config = lcfg
+        self.lora_params = lora
+        if self.state is not None:
+            self.state = init_train_state(lora, self.tx)
+
+    def save_checkpoint(self, name: str) -> str:
+        """LoRA checkpoints store the adapter tree as ``params``."""
+        return super().save_checkpoint(name)
+
+    def _final_params(self):
+        if self.state is None:
+            return self.params
+        return lora_mod.merge_lora(self.params, self.state.params, self.lora_config)

@@ -1,20 +1,23 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU pod hardware (the direct analogue of the reference's
-tiny-fixture strategy — see SURVEY.md §4).  Must set env vars BEFORE jax
-import.
+Tests run on the default JAX platform — the real TPU chip when available
+(fast compiles), CPU otherwise.  Multi-chip sharding paths are exercised
+hermetically in a SUBPROCESS with ``JAX_PLATFORMS=cpu`` and 8 virtual host
+devices (tests/test_multichip.py) — mixing
+``--xla_force_host_platform_device_count`` into a TPU-attached process
+hangs the axon plugin, so the virtual mesh gets its own process, exactly
+how the driver runs ``__graft_entry__.dryrun_multichip``.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+# Parity tests compare against float64-derived oracles; keep matmuls in
+# full f32 precision on the MXU.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: trainers/tests re-jit structurally identical
+# programs (fresh closures per instance); the cache makes those hits ~free
+# across tests AND across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

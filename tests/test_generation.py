@@ -12,6 +12,16 @@ from csm_tpu.models.generation import (
     generate_audio_tokens,
 )
 
+# jit everything under test: eager lax.while_loop/scan would recompile per
+# call and dispatch op-by-op over the TPU tunnel.
+gen_jit = jax.jit(
+    generate_audio_tokens,
+    static_argnames=("args", "max_frames", "topk", "compute_dtype"),
+)
+frame_jit = jax.jit(
+    csm.generate_frame, static_argnames=("args", "topk", "compute_dtype")
+)
+
 
 @pytest.fixture(scope="module")
 def tiny_model():
@@ -43,7 +53,7 @@ def stepped_reference(args, params, key, tokens, mask, T, max_frames):
     col = jnp.arange(tokens.shape[1], dtype=jnp.int32)
     pos = jnp.where(col[None, :] < T, col[None, :], csm.PAD_POS)
     frames = []
-    frame, state = csm.generate_frame(
+    frame, state = frame_jit(
         params, args, jax.random.fold_in(key, 0), tokens, mask, pos, state,
         1.0, 1, jnp.float32, last_idx=jnp.full((B,), T - 1),
     )
@@ -52,7 +62,7 @@ def stepped_reference(args, params, key, tokens, mask, T, max_frames):
     for i in range(1, max_frames):
         step_tokens = jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(frame)
         p = jnp.full((B, 1), T + i, jnp.int32)
-        frame, state = csm.generate_frame(
+        frame, state = frame_jit(
             params, args, jax.random.fold_in(key, i), step_tokens, step_mask,
             p, state, 1.0, 1, jnp.float32,
         )
@@ -70,7 +80,7 @@ def test_fused_equals_stepped(tiny_model):
     tokens, mask, T = make_text_prompt(args, B=1, T=6, S_pad=8)
     max_frames = 4
 
-    res = generate_audio_tokens(
+    res = gen_jit(
         params, args, jax.random.key(7), tokens, mask, T,
         max_frames=max_frames, temperature=1.0, topk=1,
         compute_dtype=jnp.float32,
@@ -93,7 +103,7 @@ def test_padding_invariance(tiny_model):
     outs = []
     for S_pad in (5, 8, 16):
         tokens, mask, lens = make_text_prompt(args, B=1, T=T, S_pad=S_pad, seed=3)
-        res = generate_audio_tokens(
+        res = gen_jit(
             params, args, jax.random.key(11), tokens, mask, lens,
             max_frames=max_frames, temperature=1.0, topk=1,
             compute_dtype=jnp.float32,
@@ -120,13 +130,13 @@ def test_batch_rows_independent(tiny_model):
         toks[b, :t, -1] = rng.integers(1, args.text_vocab_size, t)
         msk[b, :t, -1] = True
 
-    res2 = generate_audio_tokens(
+    res2 = gen_jit(
         params, args, jax.random.key(5), jnp.asarray(toks), jnp.asarray(msk),
         jnp.asarray(lens), max_frames=max_frames, temperature=1.0, topk=1,
         compute_dtype=jnp.float32,
     )
     for b in range(2):
-        res1 = generate_audio_tokens(
+        res1 = gen_jit(
             params, args, jax.random.key(5), jnp.asarray(toks[b : b + 1]),
             jnp.asarray(msk[b : b + 1]), jnp.asarray(lens[b : b + 1]),
             max_frames=max_frames, temperature=1.0, topk=1,

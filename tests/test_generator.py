@@ -1,0 +1,110 @@
+"""Generator pipeline tests (tiny model + fake codec).
+
+Mirrors the reference's mocked-generator CLI tests
+(src/csm/training/test_finetune.py:31-79): the pipeline logic — prompt
+assembly, context packing, length contract, decode trimming — is
+validated without real checkpoints.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_tpu.data.tokenizers import ByteTokenizer
+from csm_tpu.generator import Generator, Segment
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+
+SR = 24_000
+SPF = 1920  # samples per 12.5 Hz frame
+
+
+class FakeMimi:
+    """Deterministic stand-in codec: encode → hash-derived codes at
+    12.5 Hz; decode → unit-impulse train (length-exact)."""
+
+    sample_rate = SR
+
+    def __init__(self, K):
+        self.K = K
+
+    def encode(self, audio):
+        F = max(1, len(audio) // SPF)
+        rng = np.random.default_rng(len(audio) % 104729)
+        return rng.integers(1, 50, (self.K, F)).astype(np.int32)
+
+    def decode(self, codes):
+        F = codes.shape[1]
+        out = np.zeros(F * SPF, np.float32)
+        out[::SPF] = 1.0
+        return out
+
+
+@pytest.fixture(scope="module")
+def gen():
+    args = tiny_test_args()
+    params = init_csm_params(__import__("jax").random.key(0), args, jnp.float32)
+    return args, Generator(
+        params,
+        args,
+        mimi=FakeMimi(args.audio_num_codebooks),
+        text_tokenizer=ByteTokenizer(),
+        compute_dtype=jnp.float32,
+    )
+
+
+def test_generate_plain(gen):
+    args, g = gen
+    audio = g.generate("hi", speaker=1, max_audio_length_ms=400, temperature=1.0, topk=1)
+    # up to 5 frames of 80ms; may stop early on EOS
+    assert audio.shape[0] <= 5 * SPF
+    assert audio.dtype == np.float32
+    assert g.last_stats["frames"] * SPF == audio.shape[0]
+
+
+def test_generate_with_context(gen):
+    args, g = gen
+    ctx = [
+        Segment(speaker=0, text="hello", audio=np.random.default_rng(0).normal(size=SPF * 3).astype(np.float32)),
+        Segment(speaker=1, text="hey", audio=np.random.default_rng(1).normal(size=SPF * 2).astype(np.float32)),
+    ]
+    audio = g.generate("next turn", speaker=0, context=ctx, max_audio_length_ms=240, temperature=1.0, topk=1)
+    assert audio.shape[0] <= 3 * SPF
+
+
+def test_prompt_length_contract(gen):
+    """prompt_len must be < max_seq - max_frames
+    (reference: src/csm/generator.py:192-194)."""
+    args, g = gen
+    with pytest.raises(ValueError, match="prompt too long"):
+        g.generate("x" * 200, max_audio_length_ms=80 * (args.backbone.max_seq_len - 10))
+
+
+def test_generate_batch(gen):
+    args, g = gen
+    outs = g.generate_batch(
+        ["one", "two three"], [0, 1], max_audio_length_ms=240,
+        temperature=1.0, topk=1,
+    )
+    assert len(outs) == 2
+    for o in outs:
+        assert o.shape[0] <= 3 * SPF
+
+
+def test_watermarker_hook(gen):
+    args, g = gen
+    calls = []
+
+    def wm(audio, sr):
+        calls.append((len(audio), sr))
+        return audio * 0.5, sr
+
+    g2 = Generator(
+        g.params, args, mimi=FakeMimi(args.audio_num_codebooks),
+        text_tokenizer=ByteTokenizer(), watermarker=wm,
+        compute_dtype=jnp.float32,
+    )
+    audio = g2.generate("hi", max_audio_length_ms=240, temperature=1.0, topk=1)
+    if audio.shape[0]:
+        assert calls and calls[0][1] == SR
+        assert np.abs(audio).max() <= 0.5 + 1e-6

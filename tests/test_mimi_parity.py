@@ -32,6 +32,11 @@ def models():
     return tm, params, cfg_j
 
 
+# jit the codec entry points (eager scans recompile per call).
+enc_jit = jax.jit(jmimi.mimi_encode, static_argnames=("cfg", "num_quantizers"))
+dec_jit = jax.jit(jmimi.mimi_decode, static_argnames=("cfg",))
+
+
 def test_encode_parity(models):
     tm, params, cfg = models
     rng = np.random.default_rng(0)
@@ -39,7 +44,7 @@ def test_encode_parity(models):
 
     with torch.no_grad():
         codes_t = tm.encode(torch.from_numpy(audio)[:, None, :]).audio_codes.numpy()
-    codes_j = np.asarray(jmimi.mimi_encode(params, jnp.asarray(audio), cfg))
+    codes_j = np.asarray(enc_jit(params, jnp.asarray(audio), cfg))
 
     assert codes_j.shape == codes_t.shape  # (1, 32, 13)
     match = (codes_j == codes_t).mean()
@@ -53,7 +58,7 @@ def test_decode_parity(models):
 
     with torch.no_grad():
         audio_t = tm.decode(torch.from_numpy(codes)).audio_values.numpy()
-    audio_j = np.asarray(jmimi.mimi_decode(params, jnp.asarray(codes), cfg))
+    audio_j = np.asarray(dec_jit(params, jnp.asarray(codes), cfg))
 
     assert audio_j.shape == (1, audio_t.shape[-1])
     np.testing.assert_allclose(
@@ -74,6 +79,20 @@ def test_frame_length_math(models):
 def test_decode_length(models):
     _, params, cfg = models
     codes = jnp.zeros((1, 32, 25), jnp.int32)
-    audio = jmimi.mimi_decode(params, codes, cfg)
+    audio = dec_jit(params, codes, cfg)
     # 25 frames at 12.5 Hz = 2 s = 48000 samples at 24 kHz
     assert audio.shape == (1, 48000)
+
+
+def test_decode_zero_pad_invariance(models):
+    """Trailing zero-frame padding must not change earlier output (the
+    codec is streaming-causal) — the MimiAudioTokenizer decode bucketing
+    relies on this."""
+    _, params, cfg = models
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 2048, (1, 32, 10)).astype(np.int32)
+    padded = np.zeros((1, 32, 25), np.int32)
+    padded[:, :, :10] = codes
+    a1 = np.asarray(dec_jit(params, jnp.asarray(codes), cfg))
+    a2 = np.asarray(dec_jit(params, jnp.asarray(padded), cfg))
+    np.testing.assert_allclose(a2[0, : a1.shape[1]], a1[0], atol=1e-5)

@@ -58,13 +58,10 @@ def test_backbone_full_forward_parity(tiny):
         torch.from_numpy(tokens), torch.from_numpy(mask)
     ).numpy()
     h_jax = np.asarray(
-        csm.backbone_forward(
-            params,
-            args,
-            jnp.asarray(tokens),
-            jnp.asarray(mask),
-            compute_dtype=jnp.float32,
-        )
+        jax.jit(
+            csm.backbone_forward,
+            static_argnames=("args", "compute_dtype"),
+        )(params, args, jnp.asarray(tokens), jnp.asarray(mask), compute_dtype=jnp.float32)
     )
     np.testing.assert_allclose(h_jax, h_torch, atol=2e-4, rtol=2e-4)
 
@@ -81,7 +78,9 @@ def test_generate_frame_parity_argmax(tiny):
     B, S, _ = tokens.shape
     fs = csm.init_frame_state(args, B, jnp.float32, max_seq_len=64)
     pos = jnp.broadcast_to(jnp.arange(S), (B, S))
-    frame_jax, _ = csm.generate_frame(
+    frame_jax, _ = jax.jit(
+        csm.generate_frame, static_argnames=("args", "topk", "compute_dtype")
+    )(
         params,
         args,
         jax.random.key(0),
@@ -153,8 +152,10 @@ def test_cached_vs_uncached_transformer(tiny):
     h = jnp.asarray(rng.standard_normal((B, S, cfg.embed_dim)), jnp.float32)
     pos = jnp.broadcast_to(jnp.arange(S), (B, S))
 
+    apply = jax.jit(transformer_apply, static_argnames=("cfg",))
+
     full_mask = causal_mask_from_positions(pos, jnp.arange(S))
-    h_full, _ = transformer_apply(params["backbone"], cfg, h, pos, full_mask)
+    h_full, _ = apply(params["backbone"], cfg, h, pos, full_mask)
 
     cache = init_kv_cache(cfg, B, jnp.float32, max_seq_len=16)
     kv_pos = jnp.arange(16)
@@ -164,7 +165,7 @@ def test_cached_vs_uncached_transformer(tiny):
         hc = h[:, offset : offset + chunk]
         pc = pos[:, offset : offset + chunk]
         m = causal_mask_from_positions(pc, kv_pos)
-        out, cache = transformer_apply(
+        out, cache = apply(
             params["backbone"], cfg, hc, pc, m, cache, jnp.int32(offset)
         )
         outs.append(out)

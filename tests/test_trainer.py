@@ -1,0 +1,141 @@
+"""Trainer orchestration tests: epoch loop, validation, checkpoint resume,
+LoRA save modes, multi-speaker round-robin.
+
+Mirrors the reference trainer test surface (SURVEY.md §4:
+test_training.py trainer init/optimizer/train_step; test_mlx_integration
+checkpoint save/resume; test_lora_comprehensive save modes)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.training.checkpoint import latest_checkpoint, load_params
+from csm_tpu.training.lora import load_lora
+from csm_tpu.training.multi_speaker import MultiSpeakerLoRATrainer
+from csm_tpu.training.trainer import CSMLoRATrainer, CSMTrainer
+from test_training import make_batch
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    return args, params
+
+
+def batches_for(args, n=3, B=2, T=8):
+    return [make_batch(args, B=B, T=T, seed=i) for i in range(n)]
+
+
+def test_full_trainer_runs_and_checkpoints(tiny, tmp_path):
+    args, params = tiny
+    out = str(tmp_path / "run")
+    # copy: the full trainer OWNS its params (donated train-step buffers)
+    tr = CSMTrainer(
+        output_dir=out, args=args, params=jax.tree.map(jnp.array, params),
+        learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+    )
+    data = batches_for(args, n=3)
+    loss = tr.train(data, val_dataset=data[:1], batch_size=2, epochs=2,
+                    val_every=2, save_every=100)
+    assert np.isfinite(loss)
+    assert tr.global_step == 6
+    ckpt_dir = os.path.join(out, "checkpoints")
+    assert latest_checkpoint(ckpt_dir) is not None
+    # final + epoch_0 + epoch_1 (+ maybe best)
+    assert os.path.isdir(os.path.join(ckpt_dir, "final"))
+
+    # resume restores counters
+    tr2 = CSMTrainer(
+        output_dir=out, args=args, params=jax.tree.map(jnp.array, params),
+        learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+    )
+    tr2.prepare_optimizer()
+    tr2.load_checkpoint("latest")
+    assert tr2.global_step == 6
+    assert tr2.epoch == 1
+
+
+def test_freeze_flags(tiny, tmp_path):
+    args, params = tiny
+    tr = CSMTrainer(
+        output_dir=str(tmp_path), args=args,
+        params=jax.tree.map(jnp.array, params),
+        learning_rate=1e-2, compute_dtype=jnp.float32, remat=False,
+    )
+    tr.prepare_optimizer(freeze_backbone=True, freeze_embeddings=True)
+    before_bb = np.asarray(params["backbone"]["wq"]).copy()
+    before_emb = np.asarray(params["text_embeddings"]).copy()
+    tr.train(batches_for(args, n=2), batch_size=2, epochs=1, save_every=10**9)
+    np.testing.assert_array_equal(np.asarray(tr.state.params["backbone"]["wq"]), before_bb)
+    np.testing.assert_array_equal(np.asarray(tr.state.params["text_embeddings"]), before_emb)
+    assert not np.array_equal(np.asarray(tr.state.params["decoder"]["wq"]),
+                              np.asarray(params["decoder"]["wq"]))
+
+
+def test_lora_trainer_save_modes(tiny, tmp_path):
+    args, params = tiny
+    out = str(tmp_path / "lora_run")
+    tr = CSMLoRATrainer(
+        output_dir=out, args=args, params=params,
+        learning_rate=5e-3, lora_r=4, lora_alpha=8.0,
+        compute_dtype=jnp.float32, remat=False,
+    )
+    data = batches_for(args, n=2)
+    tr.train(data, batch_size=2, epochs=1, save_every=10**9)
+
+    paths = tr.save_model(str(tmp_path / "adapter"), save_mode="both")
+    assert len(paths) == 2
+    lora, lcfg, largs = load_lora(str(tmp_path / "adapter_lora"))
+    assert lcfg.r == 4 and largs == args
+    merged, margs = load_params(str(tmp_path / "adapter_full"))
+    assert margs == args
+    # merged weights differ from base on target projections
+    assert not np.array_equal(
+        np.asarray(merged["backbone"]["wq"]), np.asarray(params["backbone"]["wq"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["backbone"]["w1"]), np.asarray(params["backbone"]["w1"])
+    )
+
+    # load_lora_weights round-trip into a fresh trainer
+    tr2 = CSMLoRATrainer(
+        output_dir=out, args=args, params=params, lora_r=4, lora_alpha=8.0,
+        compute_dtype=jnp.float32, remat=False,
+    )
+    tr2.prepare_optimizer()
+    tr2.load_lora_weights(str(tmp_path / "adapter_lora"))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        tr2.state.params, lora,
+    )
+
+
+def test_multi_speaker_round_robin(tiny, tmp_path):
+    args, params = tiny
+    ms = MultiSpeakerLoRATrainer(
+        speaker_ids=[0, 1],
+        output_dir=str(tmp_path / "ms"),
+        args=args, params=params,
+        lora_r=2, compute_dtype=jnp.float32, remat=False,
+        learning_rate=5e-3,
+        use_shared_adapter=True,
+    )
+    data = {0: batches_for(args, n=2, B=1), 1: batches_for(args, n=2, B=1)}
+    losses = ms.train(data, epochs=1, batch_size=1, save_every=10**9)
+    assert set(losses) == {0, 1}
+    # adapters diverge per speaker
+    a0 = np.asarray(ms.trainers[0].state.params["backbone"]["wq"]["b"])
+    a1 = np.asarray(ms.trainers[1].state.params["backbone"]["wq"]["b"])
+    assert not np.array_equal(a0, a1)
+    # merged interpolation returns a valid adapter tree
+    mixed = ms.merge_speaker_models(0, shared_weight=0.5)
+    assert mixed["backbone"]["wq"]["a"].shape == \
+        ms.trainers[0].state.params["backbone"]["wq"]["a"].shape
+    paths = ms.save_speaker_models(save_mode="lora")
+    assert set(paths) == {0, 1, "shared"} or set(paths) == {0, 1}

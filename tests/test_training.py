@@ -1,0 +1,162 @@
+"""Training stack tests: loss semantics, train step, sharded parity.
+
+Mirrors the reference's training test strategy (SURVEY.md §4 —
+src/csm/training/test_training.py, test_mlx_training.py) plus what the
+reference lacks: the SAME jitted step on a 1-device and an 8-device mesh
+must agree (multi-chip emulation on the CPU mesh, conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.training.losses import Batch, compute_loss, masked_cross_entropy
+from csm_tpu.training.optimizer import (
+    TrainState,
+    component_labels,
+    init_train_state,
+    make_optimizer,
+)
+from csm_tpu.training.train_step import make_eval_step, make_train_step
+
+
+def make_batch(args, B=2, T=12, seed=0):
+    """Half text prompt, half audio frames; targets = next-position frames."""
+    rng = np.random.default_rng(seed)
+    K = args.audio_num_codebooks
+    tokens = np.zeros((B, T, K + 1), np.int32)
+    tokens_mask = np.zeros((B, T, K + 1), bool)
+    targets = np.zeros((B, T, K), np.int32)
+    target_mask = np.zeros((B, T), bool)
+
+    t_text = T // 2
+    tokens[:, :t_text, -1] = rng.integers(1, args.text_vocab_size, (B, t_text))
+    tokens_mask[:, :t_text, -1] = True
+    audio = rng.integers(0, args.audio_vocab_size, (B, T - t_text, K), dtype=np.int64)
+    tokens[:, t_text:, :K] = audio
+    tokens_mask[:, t_text:, :K] = True
+    # position t predicts the audio frame at t+1
+    targets[:, t_text - 1 : T - 1] = audio
+    target_mask[:, t_text - 1 : T - 1] = True
+    return Batch(
+        tokens=jnp.asarray(tokens),
+        tokens_mask=jnp.asarray(tokens_mask),
+        targets=jnp.asarray(targets),
+        target_mask=jnp.asarray(target_mask),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    return args, params
+
+
+def test_masked_cross_entropy_matches_numpy():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(3, 5, 7)).astype(np.float32)
+    labels = rng.integers(0, 7, (3, 5))
+    mask = rng.random((3, 5)) < 0.5
+    got = float(
+        masked_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask)
+        )
+    )
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    nll = -np.log(p[np.arange(3)[:, None], np.arange(5)[None], labels])
+    want = nll[mask].mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_loss_finite_and_composed(tiny):
+    args, params = tiny
+    batch = make_batch(args)
+    total, metrics = jax.jit(
+        lambda p, k, b: compute_loss(p, args, k, b, compute_dtype=jnp.float32)
+    )(params, jax.random.key(0), batch)
+    assert np.isfinite(float(total))
+    np.testing.assert_allclose(
+        float(total),
+        100.0 * float(metrics["semantic_loss"]) + float(metrics["acoustic_loss"]),
+        rtol=1e-6,
+    )
+    # amortization: ~1/16 of B*T frames selected
+    assert int(metrics["num_amortized_frames"]) >= 1
+    assert int(metrics["num_amortized_frames"]) <= max(1, batch.tokens.shape[0] * batch.tokens.shape[1] // 16)
+
+
+def test_loss_ignores_masked_positions(tiny):
+    """Changing target values outside target_mask must not change the loss."""
+    args, params = tiny
+    batch = make_batch(args)
+    f = jax.jit(
+        lambda p, k, b: compute_loss(p, args, k, b, compute_dtype=jnp.float32)[0]
+    )
+    base = float(f(params, jax.random.key(0), batch))
+    tampered = batch._replace(
+        targets=jnp.where(
+            batch.target_mask[..., None], batch.targets, batch.targets + 7
+        )
+        % args.audio_vocab_size
+    )
+    got = float(f(params, jax.random.key(0), tampered))
+    np.testing.assert_allclose(got, base, rtol=1e-6)
+
+
+def test_component_labels(tiny):
+    args, params = tiny
+    labels = component_labels(params, freeze_backbone=True)
+    assert labels["backbone"]["wq"] == "frozen"
+    assert labels["decoder"]["wq"] == "decoder"
+    assert labels["text_embeddings"] == "embeddings"
+    assert labels["projection"] == "other"
+
+
+def test_train_step_decreases_loss(tiny):
+    """A few steps on one fixed batch must reduce the loss (sanity of
+    grads + per-component AdamW)."""
+    args, _ = tiny
+    params = init_csm_params(jax.random.key(1), args, jnp.float32)
+    batch = make_batch(args, B=2, T=8)
+    tx = make_optimizer(params, learning_rate=3e-3, max_grad_norm=1.0)
+    state = init_train_state(params, tx)
+    step = make_train_step(args, tx, compute_dtype=jnp.float32)
+
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, jax.random.key(42), batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_frozen_component_unchanged(tiny):
+    args, _ = tiny
+    params = init_csm_params(jax.random.key(2), args, jnp.float32)
+    batch = make_batch(args, B=2, T=8)
+    tx = make_optimizer(params, learning_rate=1e-2, freeze_backbone=True)
+    # copy: the step donates its input state, invalidating those buffers
+    state = init_train_state(jax.tree.map(jnp.array, params), tx)
+    step = make_train_step(args, tx, compute_dtype=jnp.float32)
+    new_state, _ = step(state, jax.random.key(0), batch)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["backbone"]["wq"]),
+        np.asarray(params["backbone"]["wq"]),
+    )
+    assert not np.array_equal(
+        np.asarray(new_state.params["decoder"]["wq"]),
+        np.asarray(params["decoder"]["wq"]),
+    )
+
+
+def test_eval_step(tiny):
+    args, params = tiny
+    batch = make_batch(args)
+    ev = make_eval_step(args, compute_dtype=jnp.float32)
+    metrics = ev(params, jax.random.key(0), batch)
+    assert np.isfinite(float(metrics["loss"]))
