@@ -30,6 +30,11 @@ def log(*a):
 
 
 def main():
+    # Persistent compile cache: the big while_loop program compiles once
+    # per machine, not once per bench run.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_decode, mimi_init
     from csm_tpu.models import csm
     from csm_tpu.models.config import csm_1b_args
