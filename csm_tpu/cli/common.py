@@ -1,0 +1,86 @@
+"""Shared CLI helpers."""
+
+from __future__ import annotations
+
+import argparse
+
+
+# Voice presets — part of the reference's user-facing API
+# (src/csm/cli/generate.py:14-25): named voices mapped to speaker IDs.
+VOICE_PRESETS = {
+    "neutral": 0,
+    "warm": 1,
+    "deep": 2,
+    "bright": 3,
+    "soft": 4,
+    "energetic": 5,
+    "calm": 6,
+    "clear": 7,
+    "resonant": 8,
+    "authoritative": 9,
+}
+
+
+def add_voice_args(parser: argparse.ArgumentParser):
+    g = parser.add_mutually_exclusive_group()
+    g.add_argument("--speaker", type=int, default=0, help="Speaker ID (default: 0)")
+    g.add_argument(
+        "--voice",
+        type=str,
+        choices=sorted(VOICE_PRESETS),
+        help="Voice preset name",
+    )
+    return parser
+
+
+def resolve_speaker(args) -> int:
+    if getattr(args, "voice", None):
+        sid = VOICE_PRESETS[args.voice]
+        print(f"Using voice preset '{args.voice}' (speaker ID: {sid})")
+        return sid
+    return args.speaker
+
+
+def add_tiny_test_flag(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--tiny-test",
+        action="store_true",
+        help="Use a tiny random-weight model + codec (no checkpoints needed; "
+        "for smoke testing in offline environments)",
+    )
+    return parser
+
+
+def build_generator(args, compute_dtype=None):
+    """Construct a Generator from CLI args (full CSM-1B or tiny fixture)."""
+    import jax.numpy as jnp
+
+    from csm_tpu.generator import Generator, load_csm_1b
+
+    dtype = compute_dtype or jnp.bfloat16
+    if getattr(args, "tiny_test", False):
+        import jax
+
+        from csm_tpu.codec.mimi import MimiConfig, mimi_init
+        from csm_tpu.codec.transformer import MimiTransformerConfig
+        from csm_tpu.data.tokenizers import ByteTokenizer, MimiAudioTokenizer
+        from csm_tpu.models.config import tiny_test_args
+        from csm_tpu.models.csm import init_csm_params
+
+        margs = tiny_test_args()
+        params = init_csm_params(jax.random.key(0), margs, jnp.float32)
+        mcfg = MimiConfig(
+            num_quantizers=margs.audio_num_codebooks,
+            codebook_size=margs.audio_vocab_size - 3,
+            transformer=MimiTransformerConfig(num_layers=1),
+        )
+        mimi = MimiAudioTokenizer(mimi_init(jax.random.key(1), mcfg), cfg=mcfg)
+        return Generator(
+            params, margs, mimi=mimi, text_tokenizer=ByteTokenizer(),
+            compute_dtype=jnp.float32,
+        )
+    return load_csm_1b(
+        getattr(args, "model_path", None),
+        mimi_path=getattr(args, "mimi_path", None),
+        compute_dtype=dtype,
+    )

@@ -1,0 +1,134 @@
+"""``csm-finetune-lora`` — LoRA fine-tuning CLI.
+
+Capability equivalent of the reference csm-finetune-lora
+(src/csm/cli/finetune_lora.py): full LoRA arg surface (r / alpha /
+dropout / target-modules / target-layers), training params, save modes
+(lora / full / both), sample generation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from csm_tpu.cli.common import add_tiny_test_flag
+from csm_tpu.cli.train import build_tokenizers, prepare_datasets
+
+
+def add_lora_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("LoRA")
+    g.add_argument("--lora-r", type=int, default=8)
+    g.add_argument("--lora-alpha", type=float, default=16.0)
+    g.add_argument("--lora-dropout", type=float, default=0.0)
+    g.add_argument(
+        "--target-modules", type=str, nargs="*",
+        default=["q_proj", "v_proj"],
+        choices=["q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"],
+    )
+    g.add_argument("--target-layers", type=int, nargs="*", default=None)
+    g.add_argument("--no-backbone-lora", action="store_true")
+    g.add_argument("--no-decoder-lora", action="store_true")
+    g.add_argument("--save-mode", choices=["lora", "full", "both"], default="lora")
+    return p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LoRA fine-tune CSM (TPU)")
+    p.add_argument("--audio-dir", type=str, required=True)
+    p.add_argument("--transcript-dir", type=str, default=None)
+    p.add_argument("--alignment-dir", type=str, default=None)
+    p.add_argument("--speaker-id", type=int, default=0)
+    p.add_argument("--val-split", type=float, default=0.1)
+    p.add_argument("--context-turns", type=int, default=2)
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--mimi-path", type=str, default=None)
+    p.add_argument("--output-dir", type=str, default="./csm_lora_output")
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--semantic-weight", type=float, default=100.0)
+    p.add_argument("--acoustic-weight", type=float, default=1.0)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--accumulation-steps", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--val-every", type=int, default=100)
+    p.add_argument("--save-every", type=int, default=500)
+    p.add_argument("--resume-from", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--generate-samples", action="store_true")
+    p.add_argument("--sample-prompt", type=str, default="Hello from CSM.")
+    add_lora_args(p)
+    add_tiny_test_flag(p)
+    return p
+
+
+def make_lora_trainer(args):
+    import jax.numpy as jnp
+
+    from csm_tpu.training.trainer import CSMLoRATrainer
+
+    common = dict(
+        output_dir=args.output_dir,
+        learning_rate=args.learning_rate,
+        lora_r=args.lora_r,
+        lora_alpha=args.lora_alpha,
+        lora_dropout=args.lora_dropout,
+        target_modules=args.target_modules,
+        target_layers=args.target_layers,
+        apply_to_backbone=not args.no_backbone_lora,
+        apply_to_decoder=not args.no_decoder_lora,
+        semantic_weight=args.semantic_weight,
+        acoustic_weight=args.acoustic_weight,
+    )
+    if args.tiny_test:
+        import jax
+
+        from csm_tpu.models.config import tiny_test_args
+        from csm_tpu.models.csm import init_csm_params
+
+        margs = tiny_test_args()
+        return CSMLoRATrainer(
+            args=margs,
+            params=init_csm_params(jax.random.key(0), margs, jnp.float32),
+            compute_dtype=jnp.float32, remat=False, **common,
+        )
+    return CSMLoRATrainer(model_path=args.model_path, **common)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    trainer = make_lora_trainer(args)
+    text_tok, audio_tok = build_tokenizers(args, trainer.args)
+    train_ds, val_ds = prepare_datasets(args, trainer.args, audio_tok, text_tok)
+    trainer.logger.info(
+        f"dataset: {len(train_ds)} train / {len(val_ds) if val_ds else 0} val examples"
+    )
+
+    trainer.prepare_optimizer(
+        max_grad_norm=args.max_grad_norm,
+        accumulation_steps=args.accumulation_steps,
+    )
+    loss = trainer.train(
+        train_ds, val_ds,
+        batch_size=args.batch_size, epochs=args.epochs,
+        val_every=args.val_every, save_every=args.save_every,
+        resume_from=args.resume_from, seed=args.seed,
+    )
+    print(f"LoRA training done, final loss {loss:.4f}")
+
+    paths = trainer.save_model(
+        os.path.join(args.output_dir, "adapter"), save_mode=args.save_mode
+    )
+    print(f"saved: {paths}")
+
+    if args.generate_samples:
+        out = os.path.join(args.output_dir, "sample.wav")
+        trainer.generate_sample(args.sample_prompt, args.speaker_id, out, mimi=audio_tok)
+        print(f"wrote sample {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""``csm-generate`` — speech generation CLI.
+
+Capability equivalent of the reference csm-generate + csm-generate-mlx
+(src/csm/cli/generate.py, generate_mlx.py): voice presets, contextual
+generation from audio/text/speaker triples, sampling controls, seed, and
+the accelerated backend's RTF / frames-per-second reporting
+(generate_mlx.py:584-587,694-717).  There is one backend here — the TPU —
+so the two reference CLIs collapse into one (``csm-generate-tpu`` is an
+alias).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from csm_tpu.cli.common import (
+    add_tiny_test_flag,
+    add_voice_args,
+    build_generator,
+    resolve_speaker,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Generate speech with CSM (TPU)")
+    p.add_argument("--model-path", type=str, default=None,
+                   help="CSM checkpoint: reference ckpt.pt or an orbax dir "
+                        "(no network egress — files must be local)")
+    p.add_argument("--mimi-path", type=str, default=None,
+                   help="Mimi codec checkpoint (safetensors/pt)")
+    p.add_argument("--text", type=str, required=True)
+    add_voice_args(p)
+    p.add_argument("--output", type=str, default="audio.wav")
+    p.add_argument("--context-audio", type=str, nargs="*")
+    p.add_argument("--context-text", type=str, nargs="*")
+    p.add_argument("--context-speaker", type=int, nargs="*")
+    p.add_argument("--max-audio-length-ms", type=int, default=10_000)
+    p.add_argument("--temperature", type=float, default=0.9)
+    p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
+    p.add_argument("--no-watermark", action="store_true",
+                   help="Skip watermarking the generated audio")
+    p.add_argument("--watermark-ckpt", type=str, default=None,
+                   help="Directory with silentcipher torch checkpoints")
+    p.add_argument("--debug", action="store_true")
+    add_tiny_test_flag(p)
+    return p
+
+
+def load_context(args, generator):
+    from csm_tpu.data.audio import load_audio
+    from csm_tpu.generator import Segment
+
+    if not args.context_audio:
+        return []
+    if not (args.context_text and args.context_speaker) or not (
+        len(args.context_audio) == len(args.context_text) == len(args.context_speaker)
+    ):
+        raise ValueError(
+            "--context-audio requires matching --context-text and "
+            "--context-speaker lists"
+        )
+    return [
+        Segment(speaker=s, text=t, audio=load_audio(a, generator.sample_rate))
+        for a, t, s in zip(args.context_audio, args.context_text, args.context_speaker)
+    ]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    speaker = resolve_speaker(args)
+
+    print("Loading model...")
+    t0 = time.time()
+    generator = build_generator(args)
+    if not args.no_watermark:
+        from csm_tpu.watermarking import load_watermarker, watermark
+
+        wmarker = load_watermarker(args.watermark_ckpt)
+        generator.watermarker = lambda audio, sr: watermark(wmarker, audio, sr)
+    print(f"Model ready in {time.time() - t0:.1f}s")
+
+    context = load_context(args, generator)
+    print(f"Generating: {args.text!r} (speaker {speaker}, "
+          f"{len(context)} context segments)")
+    audio = generator.generate(
+        args.text,
+        speaker=speaker,
+        context=context,
+        max_audio_length_ms=args.max_audio_length_ms,
+        temperature=args.temperature,
+        topk=args.topk,
+        seed=args.seed,
+    )
+
+    from csm_tpu.data.audio import save_wav
+
+    save_wav(args.output, audio, generator.sample_rate)
+    s = generator.last_stats
+    print(
+        f"Wrote {args.output}: {len(audio) / generator.sample_rate:.2f}s audio "
+        f"in {s['wall_s']:.2f}s (RTF {s['rtf']:.2f}, "
+        f"{s['frames_per_s']:.1f} frames/s)"
+    )
+    if args.debug:
+        print("timing_stats:", {k: round(v, 4) for k, v in s.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,10 +89,12 @@ def _layer_forward(
     D = cfg.head_dim
 
     def proj(x, name):
-        y = x @ lp[name]
+        # weights cast to the activation dtype: params may be stored f32
+        # while the compute dtype is bf16 (mixed-precision training)
+        y = x @ lp[name].astype(x.dtype)
         if lora is not None and name in lora:
             ad = lora[name]
-            y = y + ((x @ ad["a"]) @ ad["b"]) * lora_scale
+            y = y + ((x @ ad["a"].astype(x.dtype)) @ ad["b"].astype(x.dtype)) * lora_scale
         return y
 
     # --- attention ---

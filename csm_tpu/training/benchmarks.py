@@ -1,0 +1,232 @@
+"""Benchmark harnesses: LoRA config sweep + TPU stack benchmark.
+
+Capability equivalent of the reference benchmark suites:
+  * ``run_lora_benchmark`` — rank × module-set × batch × seq grid with
+    step-time / parameter-efficiency results and a markdown report with
+    top-N tables (src/csm/training/benchmark_lora.py:27-599,
+    run_lora_benchmark.py:204-524);
+  * ``run_stack_benchmark`` — model init, optimizer prep, forward, train
+    step, tokens/s, generation frames/s + RTF, checkpoint I/O timing
+    (src/csm/training/run_mlx_benchmark.py:313-498).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_tpu.models.config import ModelArgs, tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.training import lora as lora_mod
+from csm_tpu.training.losses import Batch
+from csm_tpu.training.optimizer import init_train_state, make_lora_optimizer, make_optimizer
+from csm_tpu.training.train_step import make_lora_train_step, make_train_step
+
+
+@dataclasses.dataclass
+class BenchmarkConfig:
+    """One LoRA sweep point (reference: benchmark_lora.py:27-78)."""
+
+    lora_r: int = 8
+    target_modules: tuple = ("q_proj", "v_proj")
+    batch_size: int = 2
+    seq_len: int = 64
+    steps: int = 5
+
+    @property
+    def name(self) -> str:
+        mods = "+".join(m.replace("_proj", "") for m in self.target_modules)
+        return f"r{self.lora_r}_{mods}_b{self.batch_size}_s{self.seq_len}"
+
+
+def make_mock_batch(args: ModelArgs, B: int, T: int, seed: int = 0) -> Batch:
+    """Synthetic batch (reference: run_lora_benchmark.py:175)."""
+    rng = np.random.default_rng(seed)
+    K = args.audio_num_codebooks
+    tokens = np.zeros((B, T, K + 1), np.int32)
+    mask = np.zeros((B, T, K + 1), bool)
+    targets = np.zeros((B, T, K), np.int32)
+    tmask = np.zeros((B, T), bool)
+    t0 = T // 4
+    tokens[:, :t0, -1] = rng.integers(1, args.text_vocab_size, (B, t0))
+    mask[:, :t0, -1] = True
+    audio = rng.integers(0, args.audio_vocab_size, (B, T - t0, K))
+    tokens[:, t0:, :K] = audio
+    mask[:, t0:, :K] = True
+    targets[:, t0 - 1 : T - 1] = audio
+    tmask[:, t0 - 1 : T - 1] = True
+    return Batch(jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(targets),
+                 jnp.asarray(tmask))
+
+
+def _timed_steps(step_fn, state, extra, batch, n_steps: int):
+    # warmup/compile
+    state, m = step_fn(state, *extra, jax.random.key(0), batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    for i in range(n_steps):
+        state, m = step_fn(state, *extra, jax.random.key(i + 1), batch)
+    jax.block_until_ready(m["loss"])
+    return (time.time() - t0) / n_steps, state
+
+
+def run_lora_benchmark(
+    args: Optional[ModelArgs] = None,
+    ranks: Sequence[int] = (4, 8, 16),
+    module_sets: Sequence[tuple] = (("q_proj", "v_proj"), ("q_proj", "k_proj", "v_proj", "o_proj")),
+    batch_sizes: Sequence[int] = (2,),
+    seq_lens: Sequence[int] = (64,),
+    steps: int = 5,
+    compute_dtype=jnp.bfloat16,
+) -> List[dict]:
+    """Sweep LoRA configs; returns result dicts
+    (step time, tokens/s, trainable params, efficiency)."""
+    args = args or tiny_test_args()
+    params = jax.jit(lambda: init_csm_params(jax.random.key(0), args, jnp.float32))()
+    base_count = lora_mod.count_params(params)
+
+    results = []
+    for r in ranks:
+        for mods in module_sets:
+            for B in batch_sizes:
+                for T in seq_lens:
+                    cfg = BenchmarkConfig(r, tuple(mods), B, T, steps)
+                    lcfg = lora_mod.LoRAConfig(r=r, target_modules=tuple(mods))
+                    lora = lora_mod.init_lora_params(jax.random.key(1), args, lcfg)
+                    tx = make_lora_optimizer(1e-4)
+                    state = init_train_state(lora, tx)
+                    step = make_lora_train_step(
+                        args, tx, lcfg.scaling, compute_dtype=compute_dtype
+                    )
+                    dt, _ = _timed_steps(
+                        step, state, (params,), make_mock_batch(args, B, T), steps
+                    )
+                    n_lora = lora_mod.count_params(lora)
+                    results.append({
+                        "name": cfg.name,
+                        "lora_r": r,
+                        "target_modules": list(mods),
+                        "batch_size": B,
+                        "seq_len": T,
+                        "step_time_s": round(dt, 5),
+                        "tokens_per_s": round(B * T / dt, 1),
+                        "trainable_params": n_lora,
+                        "param_efficiency_pct": round(100 * n_lora / base_count, 4),
+                    })
+    return results
+
+
+def generate_lora_report(results: List[dict], path: Optional[str] = None) -> str:
+    """Markdown report with top-5 tables
+    (reference: benchmark_lora.py:203-402)."""
+    by_speed = sorted(results, key=lambda r: r["step_time_s"])[:5]
+    by_eff = sorted(results, key=lambda r: r["param_efficiency_pct"])[:5]
+
+    def table(rows):
+        head = ("| config | step time (s) | tokens/s | trainable params | % of base |\n"
+                "|---|---|---|---|---|\n")
+        return head + "".join(
+            f"| {r['name']} | {r['step_time_s']} | {r['tokens_per_s']} "
+            f"| {r['trainable_params']:,} | {r['param_efficiency_pct']} |\n"
+            for r in rows
+        )
+
+    md = (
+        "# LoRA Benchmark Report\n\n"
+        f"device: {jax.devices()[0]}\n\n"
+        "## Top 5 by step time\n\n" + table(by_speed) +
+        "\n## Top 5 by parameter efficiency\n\n" + table(by_eff) +
+        "\n## All results\n\n" + table(sorted(results, key=lambda r: r["name"]))
+    )
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(md)
+        with open(os.path.splitext(path)[0] + ".json", "w") as f:
+            json.dump(results, f, indent=2)
+    return md
+
+
+def run_stack_benchmark(
+    args: Optional[ModelArgs] = None,
+    batch_size: int = 2,
+    seq_len: int = 64,
+    gen_frames: int = 25,
+    steps: int = 5,
+    compute_dtype=jnp.bfloat16,
+) -> dict:
+    """Timing of every stage of the stack
+    (reference: run_mlx_benchmark.py:313-498)."""
+    from csm_tpu.models.generation import generate_audio_tokens
+
+    args = args or tiny_test_args()
+    out = {"device": str(jax.devices()[0])}
+
+    t0 = time.time()
+    params = jax.jit(lambda: init_csm_params(jax.random.key(0), args, jnp.float32))()
+    jax.block_until_ready(params["audio_head"])
+    out["model_init_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tx = make_optimizer(params, learning_rate=1e-4)
+    state = init_train_state(jax.tree.map(jnp.array, params), tx)
+    out["optimizer_prep_s"] = round(time.time() - t0, 3)
+
+    batch = make_mock_batch(args, batch_size, seq_len)
+
+    # forward (loss only)
+    from csm_tpu.training.losses import compute_loss
+
+    fwd = jax.jit(lambda p, k: compute_loss(p, args, k, batch,
+                                            compute_dtype=compute_dtype)[0])
+    fwd(params, jax.random.key(0)).block_until_ready()
+    t0 = time.time()
+    for i in range(steps):
+        v = fwd(params, jax.random.key(i))
+    v.block_until_ready()
+    out["forward_s"] = round((time.time() - t0) / steps, 5)
+
+    # train step (keep the returned state: the step donates its input)
+    step = make_train_step(args, tx, compute_dtype=compute_dtype)
+    dt, state = _timed_steps(step, state, (), batch, steps)
+    out["train_step_s"] = round(dt, 5)
+    out["train_tokens_per_s"] = round(batch_size * seq_len / dt, 1)
+
+    # generation
+    K = args.audio_num_codebooks
+    toks = jnp.zeros((1, 16, K + 1), jnp.int32).at[:, :, -1].set(3)
+    msk = jnp.zeros((1, 16, K + 1), bool).at[:, :, -1].set(True)
+    gen = jax.jit(lambda p, k: generate_audio_tokens(
+        p, args, k, toks, msk, jnp.full((1,), 16, jnp.int32),
+        max_frames=gen_frames, temperature=0.9, topk=50,
+        compute_dtype=compute_dtype,
+    ))
+    jax.block_until_ready(gen(params, jax.random.key(0)).frames)
+    t0 = time.time()
+    res = gen(params, jax.random.key(1))
+    jax.block_until_ready(res.frames)
+    gen_dt = time.time() - t0
+    out["gen_frames_per_s"] = round(gen_frames / gen_dt, 1)
+    out["gen_rtf"] = round(gen_frames / 12.5 / gen_dt, 2)
+
+    # checkpoint I/O
+    import tempfile
+
+    from csm_tpu.training import checkpoint as ckpt
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        ckpt.save_checkpoint(d, "bench", state, args)
+        out["ckpt_save_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ckpt.load_checkpoint(os.path.join(d, "bench"))
+        out["ckpt_load_s"] = round(time.time() - t0, 3)
+
+    return out

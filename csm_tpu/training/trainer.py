@@ -106,6 +106,10 @@ class CSMTrainer:
         self.global_step = 0
         self.best_val_loss = float("inf")
 
+        from csm_tpu.utils.observability import MetricsLogger
+
+        self.metrics = MetricsLogger(os.path.join(output_dir, "metrics.jsonl"))
+
     # ---- model loading (reference: trainer.py:90-121) ----
 
     def _load_model(self, model_path, args, params):
@@ -212,6 +216,14 @@ class CSMTrainer:
                 n_batches += 1
                 last_loss = float(metrics["loss"])
 
+                self.metrics.log(
+                    self.global_step,
+                    epoch=epoch,
+                    loss=metrics["loss"],
+                    semantic_loss=metrics["semantic_loss"],
+                    acoustic_loss=metrics["acoustic_loss"],
+                    grad_norm=metrics["grad_norm"],
+                )
                 if self.global_step % 10 == 0:
                     self.logger.info(
                         f"epoch {epoch} step {self.global_step} "

@@ -227,7 +227,13 @@ class Watermarker:
             symbols = mode[: self.message_len - 1]
         else:
             symbols = np.concatenate([mode[end + 1 :], mode[:end]])
-        message = symbols_to_bytes(symbols - 1)
+        symbols = symbols - 1
+        if np.any(symbols < 0) or np.any(symbols > 3):
+            # extra terminators / out-of-range symbols: no valid message
+            # (the reference wraps decode in a broad except → status False,
+            # server.py:446-449)
+            return {"messages": [], "confidences": [float(acc)], "status": False}
+        message = symbols_to_bytes(symbols)
         confidence = float(np.mean(grid == mode[None]))
         return {"messages": [message], "confidences": [confidence], "status": True}
 
