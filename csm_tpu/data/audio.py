@@ -1,13 +1,17 @@
-"""Audio file I/O and resampling (host-side, numpy).
+"""Audio file I/O and resampling (host-side).
 
 The reference leans on torchaudio/librosa for load/resample/mono
-(src/csm/data/training_data.py:58-66); here it's stdlib ``wave`` +
-polyphase resampling (scipy) — zero heavyweight deps on the TPU host.
+(src/csm/data/training_data.py:58-66); here the hot path is the native
+C++ loader (csm_tpu/native: single-pass WAV decode + mono mixdown +
+polyphase FIR resample) with a stdlib-``wave``/scipy fallback when the
+toolchain is unavailable.  Set ``CSM_TPU_NO_NATIVE=1`` to force the
+fallback.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import wave
 from typing import Tuple
 
@@ -15,11 +19,24 @@ import numpy as np
 from scipy import signal
 
 
+def _native():
+    if os.environ.get("CSM_TPU_NO_NATIVE"):
+        return None
+    from csm_tpu import native
+
+    return native if native.available() else None
+
+
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """Load a WAV file → (mono float32 in [-1, 1], sample_rate).
 
-    Supports 8/16/24/32-bit PCM; multi-channel is averaged to mono.
+    Supports 8/16/24/32-bit PCM (+ float32 via the native path);
+    multi-channel is averaged to mono.
     """
+    nat = _native()
+    if nat is not None:
+        with open(path, "rb") as f:
+            return nat.wav_decode(f.read())
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n_ch = w.getnchannels()
@@ -64,6 +81,9 @@ def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resample (matches torchaudio.functional.resample class)."""
     if sr == target_sr:
         return np.asarray(audio, np.float32)
+    nat = _native()
+    if nat is not None:
+        return nat.resample(audio, sr, target_sr)
     g = math.gcd(sr, target_sr)
     return signal.resample_poly(
         np.asarray(audio, np.float64), target_sr // g, sr // g
