@@ -178,9 +178,17 @@ def generate_frame(
         input_pos.astype(jnp.int32),
         (jnp.zeros((), jnp.int32), state.offset),
     )
-    bb_mask = causal_mask_from_positions(input_pos, new_kv_pos)
+    # Long prefill uses the Pallas flash kernel (no (S, T) mask/score
+    # materialization); decode steps (S=1) and short prefill stay on XLA.
+    from csm_tpu.ops.flash_attention import use_flash
+
+    if use_flash(S):
+        bb_mask, flash_pos = None, (input_pos, new_kv_pos)
+    else:
+        bb_mask, flash_pos = causal_mask_from_positions(input_pos, new_kv_pos), None
     h, new_cache = transformer_apply(
-        params["backbone"], bb, h, input_pos, bb_mask, state.cache, state.offset
+        params["backbone"], bb, h, input_pos, bb_mask, state.cache, state.offset,
+        flash_pos=flash_pos,
     )
     new_state = FrameState(new_cache, state.offset + S, new_kv_pos)
 

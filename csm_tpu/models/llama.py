@@ -76,6 +76,7 @@ def _layer_forward(
     cache_offset: Optional[jnp.ndarray],
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
+    flash_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """One transformer block. Returns (h, (k_cache, v_cache)|None).
 
@@ -105,12 +106,19 @@ def _layer_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    def attend(q, k, v):
+        if flash_pos is not None:
+            from csm_tpu.ops.flash_attention import flash_gqa_attention
+
+            return flash_gqa_attention(q, k, v, flash_pos[0], flash_pos[1])
+        return gqa_attention(q, k, v, mask)
+
     if kv_layer is not None:
         k_cache, v_cache = update_layer(kv_layer[0], kv_layer[1], k, v, cache_offset)
-        attn = gqa_attention(q, k_cache, v_cache, mask)
+        attn = attend(q, k_cache, v_cache)
         new_kv = (k_cache, v_cache)
     else:
-        attn = gqa_attention(q, k, v, mask)
+        attn = attend(q, k, v)
         new_kv = None
 
     h = h + proj(attn.reshape(B, S, cfg.num_heads * D), "wo")
@@ -134,6 +142,7 @@ def transformer_apply(
     remat: bool = False,
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
+    flash_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the transformer.
 
@@ -152,6 +161,10 @@ def transformer_apply(
             {proj: {"a": (L, in, r), "b": (L, r, out)}}; scanned alongside
             the base weights.
         lora_scale: alpha / r.
+        flash_pos: optional (q_pos (B, S), kv_pos (T,) | (B, T)) — use the
+            Pallas flash-attention kernel (csm_tpu/ops/flash_attention.py)
+            with position-derived masking instead of the materialized
+            ``mask`` (long-sequence prefill / training on TPU).
 
     Returns:
         (h_out (B, S, E), updated cache or None)
@@ -172,7 +185,7 @@ def transformer_apply(
             lp, lo, kc, vc = x
             h_new, kv = _layer_forward(
                 carry, lp, cfg, cos, sin, mask, (kc, vc), cache_offset,
-                lora=lo, lora_scale=lora_scale,
+                lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
             )
             return h_new, kv
 
@@ -185,7 +198,7 @@ def transformer_apply(
             lp, lo = x
             h_new, _ = _layer_forward(
                 carry, lp, cfg, cos, sin, mask, None, None,
-                lora=lo, lora_scale=lora_scale,
+                lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
             )
             return h_new, None
 

@@ -102,14 +102,20 @@ def compute_loss(
     B, T, _ = batch.tokens.shape
 
     # ---- backbone over the full sequence ----
+    from csm_tpu.ops.flash_attention import use_flash
+
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     h = csm.masked_embed_sum(params, args, batch.tokens, batch.tokens_mask)
     h = h.astype(compute_dtype)
-    mask = causal_mask_from_positions(positions, positions[0])
+    if use_flash(T):
+        mask, flash_pos = None, (positions, positions[0])
+    else:
+        mask, flash_pos = causal_mask_from_positions(positions, positions[0]), None
     h, _ = transformer_apply(
         params["backbone"], bb, h, positions, mask, remat=remat,
         lora=None if lora is None else lora.get("backbone"),
         lora_scale=lora_scale,
+        flash_pos=flash_pos,
     )  # (B, T, E_b)
 
     # ---- semantic loss: codebook-0 on every frame ----

@@ -1,0 +1,103 @@
+"""Pallas flash-attention tests (run on the TPU; skipped elsewhere).
+
+Parity with the XLA GQA attention under the PAD_POS position-mask
+contract, gradient parity through the custom_vjp, and end-to-end: a long
+bucketed prefill with the flash kernel generates the same tokens as the
+XLA path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.ops.attention import causal_mask_from_positions, gqa_attention
+from csm_tpu.ops import flash_attention as fa
+
+pytestmark = pytest.mark.skipif(
+    not fa.flash_available(), reason="no TPU backend for Pallas kernels"
+)
+
+
+def rand(shape, dtype=jnp.float32, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), dtype)
+
+
+def test_parity_with_pad_positions():
+    """Bucketed-prefill shapes: per-row prompt lengths, PAD_POS slots."""
+    B, S, Hq, Hkv, D = 2, 300, 8, 2, 64
+    T = 448
+    q, k, v = rand((B, S, Hq, D)), rand((B, T, Hkv, D), seed=1), rand((B, T, Hkv, D), seed=2)
+    PAD = 1 << 28
+    lens = np.array([260, 300])
+    qpos = np.where(np.arange(S)[None] < lens[:, None], np.arange(S)[None], PAD)
+    kv_lens = np.array([260, 300])
+    kvpos = np.where(np.arange(T)[None] < kv_lens[:, None], np.arange(T)[None], PAD)
+    qpos, kvpos = jnp.asarray(qpos, jnp.int32), jnp.asarray(kvpos, jnp.int32)
+
+    ref = gqa_attention(q, k, v, causal_mask_from_positions(qpos, kvpos))
+    out = jax.jit(fa.flash_gqa_attention)(q, k, v, qpos, kvpos)
+    rows = np.arange(S)[None] < lens[:, None]  # only real rows are defined
+    np.testing.assert_allclose(
+        np.asarray(out)[rows], np.asarray(ref)[rows], atol=2e-5
+    )
+
+
+def test_gradient_matches_xla():
+    B, S, Hq, Hkv, D = 1, 256, 8, 2, 64
+    q, k, v = rand((B, S, Hq, D)), rand((B, S, Hkv, D), seed=1), rand((B, S, Hkv, D), seed=2)
+    qpos = jnp.broadcast_to(jnp.arange(S), (B, S)).astype(jnp.int32)
+    kvpos = jnp.arange(S, dtype=jnp.int32)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_gqa_attention(q, k, v, qpos, kvpos) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        m = causal_mask_from_positions(qpos, kvpos)
+        return (gqa_attention(q, k, v, m) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_generation_prefill_flash_equals_xla(monkeypatch):
+    """A 300-token prompt (bucket 512 ⇒ flash prefill) generates the same
+    argmax tokens as the XLA path (CSM_TPU_NO_FLASH=1)."""
+    from csm_tpu.models.csm import init_csm_params
+    from csm_tpu.models.generation import generate_audio_tokens
+
+    base = tiny_test_args()
+    args = dataclasses.replace(
+        base,
+        backbone_config=dataclasses.replace(base.backbone_config, max_seq_len=1024),
+        decoder_config=dataclasses.replace(base.decoder_config, max_seq_len=1024),
+    )
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    K = args.audio_num_codebooks
+    rng = np.random.default_rng(5)
+    B, T_real, S_pad = 1, 300, 512
+    toks = np.zeros((B, S_pad, K + 1), np.int32)
+    msk = np.zeros((B, S_pad, K + 1), bool)
+    toks[:, :T_real, -1] = rng.integers(1, args.text_vocab_size, (B, T_real))
+    msk[:, :T_real, -1] = True
+    lens = jnp.full((B,), T_real, jnp.int32)
+
+    def gen():
+        return np.asarray(
+            jax.jit(
+                lambda p, k: generate_audio_tokens(
+                    p, args, k, jnp.asarray(toks), jnp.asarray(msk), lens,
+                    max_frames=3, temperature=1.0, topk=1,
+                    compute_dtype=jnp.float32,
+                )
+            )(params, jax.random.key(3)).frames
+        )
+
+    flash_frames = gen()
+    monkeypatch.setenv("CSM_TPU_NO_FLASH", "1")
+    xla_frames = gen()
+    np.testing.assert_array_equal(flash_frames, xla_frames)
