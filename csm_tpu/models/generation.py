@@ -110,7 +110,9 @@ def generate_audio_tokens(
     def body(carry):
         i, frame, state, done, frames_buf, num_frames = carry
         step_tokens = jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(frame)
-        pos = (prompt_len[:, None] + i).astype(jnp.int32)  # (B, 1)
+        # frame i-1 is consumed as the token at position prompt_len + (i-1)
+        # (the prompt occupies 0..prompt_len-1)
+        pos = (prompt_len[:, None] + i - 1).astype(jnp.int32)  # (B, 1)
         new_frame, state = csm.generate_frame(
             params,
             args,

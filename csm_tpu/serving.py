@@ -1,0 +1,265 @@
+"""Batched serving: continuous frame-level batching of generation streams.
+
+The stretch-goal capability from BASELINE.json (config 5: "batched
+serving, 64 concurrent streams, continuous frame-level batching").  The
+reference cannot serve more than one stream — its cache setup is
+hardwired to batch 1 (src/csm/generator.py:62).
+
+Design (TPU-first):
+  * ONE resident FrameState sized (n_slots, max_seq): all active streams
+    decode together in a single jitted ``decode_step`` per 80 ms frame —
+    the backbone/decoder weight reads (the single-stream bottleneck,
+    docs/architecture.md) amortize across slots;
+  * admission is per-slot PREFILL into the shared cache: a new request's
+    prompt runs through the backbone with its KV written at that slot's
+    rows only (other slots' cache entries are untouched — functional
+    update at batch index);
+  * finished slots (EOS or frame budget) free immediately and can admit
+    a new request at the next frame boundary — continuous batching;
+  * every jitted program is shape-static: (n_slots, bucket) prefill and
+    (n_slots, 1) decode, so steady-state serving never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_tpu.models import csm
+from csm_tpu.models.config import ModelArgs
+from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
+from csm_tpu.ops.kvcache import KVCache
+
+
+@dataclasses.dataclass
+class StreamRequest:
+    """One TTS request (prompt already packed to (T, K+1) frames)."""
+
+    tokens: np.ndarray  # (T, K+1) int32
+    mask: np.ndarray  # (T, K+1) bool
+    max_frames: int
+    request_id: int = 0
+
+
+@dataclasses.dataclass
+class StreamResult:
+    request_id: int
+    frames: np.ndarray  # (n, K) int32 audio codes
+    n_steps: int
+
+
+class BatchedServer:
+    """Continuous-batching decode server over ``n_slots`` streams."""
+
+    def __init__(
+        self,
+        params: dict,
+        args: ModelArgs,
+        n_slots: int = 8,
+        max_seq_len: int = 2048,
+        temperature: float = 0.9,
+        topk: int = 50,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.args = args
+        self.n_slots = n_slots
+        self.max_seq_len = max_seq_len
+        self.temperature = temperature
+        self.topk = topk
+        self.compute_dtype = compute_dtype
+        K = args.audio_num_codebooks
+
+        self.state = csm.init_frame_state(
+            args, n_slots, compute_dtype, max_seq_len=max_seq_len
+        )
+        # Per-slot host bookkeeping.
+        self.slot_request: List[Optional[StreamRequest]] = [None] * n_slots
+        self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(n_slots)]
+        self.slot_pos = np.zeros(n_slots, np.int64)  # next absolute position
+        self.slot_budget = np.zeros(n_slots, np.int64)
+        self.active = np.zeros(n_slots, bool)
+        self.last_frame = jnp.zeros((n_slots, K), jnp.int32)
+        self._step_count = 0
+        self._offset_host = 0  # host mirror of state.offset (no device sync)
+        self._key = jax.random.key(0)
+
+        self._decode = self._build_decode()
+        self._prefills: Dict[int, Callable] = {}
+
+    # ---- compiled programs ----
+
+    def _build_decode(self):
+        args, K = self.args, self.args.audio_num_codebooks
+        B = self.n_slots
+        step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
+
+        @jax.jit
+        def decode(params, key, state: csm.FrameState, last_frame, pos, active):
+            # inactive slots run dead tokens at PAD_POS — harmless rows
+            tokens = jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(last_frame)
+            mask = jnp.broadcast_to(step_mask_live[None], (B, 1, K + 1)) & active[
+                :, None, None
+            ]
+            p = jnp.where(active, pos, csm.PAD_POS).astype(jnp.int32)[:, None]
+            frame, new_state = csm.generate_frame(
+                params, args, key, tokens, mask, p, state,
+                self.temperature, self.topk, self.compute_dtype,
+            )
+            # NOTE: the shared cache offset advances by 1 for every slot
+            # column; kv_pos carries correctness (PAD slots never attended)
+            return frame, new_state
+
+        return decode
+
+    def _prefill_fn(self, bucket: int):
+        """Compiled per-slot prefill: run the prompt for ONE slot and merge
+        its cache rows into the shared state."""
+        if bucket in self._prefills:
+            return self._prefills[bucket]
+        args, K = self.args, self.args.audio_num_codebooks
+
+        @jax.jit
+        def prefill(params, key, state: csm.FrameState, slot, tokens, mask, length):
+            sub = csm.init_frame_state(
+                args, 1, self.compute_dtype, max_seq_len=state.cache.max_seq_len
+            )
+            col = jnp.arange(tokens.shape[1], dtype=jnp.int32)
+            pos = jnp.where(col[None, :] < length, col[None, :], csm.PAD_POS)
+            frame, sub = csm.generate_frame(
+                params, args, key, tokens, mask, pos, sub,
+                self.temperature, self.topk, self.compute_dtype,
+                last_idx=length[None] - 1,
+            )
+            # merge slot rows into the shared state
+            k = jax.lax.dynamic_update_slice(
+                state.cache.k, sub.cache.k[:, :1], (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                state.cache.v, sub.cache.v[:, :1], (0, slot, 0, 0, 0)
+            )
+            kv_pos = jax.lax.dynamic_update_slice(
+                state.kv_pos, sub.kv_pos[:1], (slot, 0)
+            )
+            offset = jnp.maximum(state.offset, sub.offset)
+            return frame[0], csm.FrameState(KVCache(k, v), offset, kv_pos)
+
+        self._prefills[bucket] = prefill
+        return prefill
+
+    # ---- host-side orchestration ----
+
+    def submit(self, req: StreamRequest) -> Optional[int]:
+        """Admit a request into a free slot (prefill now); None if full."""
+        free = np.nonzero(~self.active)[0]
+        if len(free) == 0:
+            return None
+        slot = int(free[0])
+        T = req.tokens.shape[0]
+        bucket = bucket_length(
+            T, tuple(b for b in PROMPT_BUCKETS if b <= self.max_seq_len)
+        )
+        K = self.args.audio_num_codebooks
+        toks = np.zeros((1, bucket, K + 1), np.int32)
+        msk = np.zeros((1, bucket, K + 1), bool)
+        toks[0, :T] = req.tokens
+        msk[0, :T] = req.mask
+
+        self._key, sub = jax.random.split(self._key)
+        prefill = self._prefill_fn(bucket)
+        frame0, self.state = prefill(
+            self.params, sub, self.state, jnp.int32(slot),
+            jnp.asarray(toks), jnp.asarray(msk), jnp.asarray(T, jnp.int32),
+        )
+
+        self._offset_host = max(self._offset_host, bucket)
+        self.slot_request[slot] = req
+        self.slot_frames[slot] = []
+        self.slot_pos[slot] = T
+        self.slot_budget[slot] = req.max_frames
+        self.active[slot] = True
+        f0 = np.asarray(frame0)
+        if np.all(f0 == 0):  # immediate EOS
+            self._finish(slot)
+        else:
+            self.slot_frames[slot].append(f0)
+            self.last_frame = self.last_frame.at[slot].set(frame0)
+        return slot
+
+    def step(self) -> List[StreamResult]:
+        """Advance every active stream by one frame; returns finished."""
+        if not self.active.any():
+            return []
+        # Cache slots are position-tracked (kv_pos), not position-aligned,
+        # so the shared write offset only bounds TOTAL rows written.  A
+        # long-lived server needs per-slot ring offsets (future work);
+        # guard against silent overwrite until then.
+        if self._offset_host + 1 > self.state.cache.max_seq_len:
+            raise RuntimeError(
+                "shared KV cache exhausted — restart the server or raise "
+                "max_seq_len (per-slot ring offsets not yet implemented)"
+            )
+        self._offset_host += 1
+        self._key, sub = jax.random.split(self._key)
+        # the fed token is frame #(n-1), at absolute position prompt_len+n-1
+        pos = jnp.asarray(
+            self.slot_pos + np.array([len(f) for f in self.slot_frames]) - 1
+        )
+        frame, self.state = self._decode(
+            self.params, sub, self.state, self.last_frame, pos,
+            jnp.asarray(self.active),
+        )
+        self.last_frame = frame
+        self._step_count += 1
+
+        done: List[StreamResult] = []
+        f_host = np.asarray(frame)
+        for slot in np.nonzero(self.active)[0]:
+            s = int(slot)
+            if np.all(f_host[s] == 0) or len(self.slot_frames[s]) + 1 >= self.slot_budget[s]:
+                if not np.all(f_host[s] == 0):
+                    self.slot_frames[s].append(f_host[s])
+                done.append(self._finish(s))
+            else:
+                self.slot_frames[s].append(f_host[s])
+        return done
+
+    def _finish(self, slot: int) -> StreamResult:
+        req = self.slot_request[slot]
+        frames = (
+            np.stack(self.slot_frames[slot])
+            if self.slot_frames[slot]
+            else np.zeros((0, self.args.audio_num_codebooks), np.int32)
+        )
+        res = StreamResult(req.request_id, frames, len(self.slot_frames[slot]))
+        self.active[slot] = False
+        self.slot_request[slot] = None
+        self.slot_frames[slot] = []
+        return res
+
+    def run(self, requests: List[StreamRequest], max_steps: int = 10_000):
+        """Serve a request list to completion; returns (results, stats)."""
+        pending = list(requests)
+        results: List[StreamResult] = []
+        t0 = time.time()
+        steps = 0
+        while (pending or self.active.any()) and steps < max_steps:
+            while pending and self.submit(pending[0]) is not None:
+                pending.pop(0)
+            results.extend(self.step())
+            steps += 1
+        wall = time.time() - t0
+        total_frames = sum(r.n_steps for r in results)
+        stats = {
+            "wall_s": wall,
+            "decode_steps": steps,
+            "total_frames": total_frames,
+            "frames_per_s": total_frames / max(wall, 1e-9),
+            "aggregate_rtf": total_frames / 12.5 / max(wall, 1e-9),
+        }
+        return results, stats

@@ -61,7 +61,7 @@ def stepped_reference(args, params, key, tokens, mask, T, max_frames):
     step_mask = jnp.zeros((B, 1, K + 1), bool).at[:, :, :K].set(True)
     for i in range(1, max_frames):
         step_tokens = jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(frame)
-        p = jnp.full((B, 1), T + i, jnp.int32)
+        p = jnp.full((B, 1), T + i - 1, jnp.int32)
         frame, state = frame_jit(
             params, args, jax.random.fold_in(key, i), step_tokens, step_mask,
             p, state, 1.0, 1, jnp.float32,

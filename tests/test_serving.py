@@ -1,0 +1,101 @@
+"""Batched-serving tests: continuous batching correctness.
+
+Key invariant: a stream served in a shared multi-slot server produces
+exactly the tokens it would produce generated alone (argmax decoding) —
+slot sharing, per-slot prefill merging, and stale-cache masking must be
+invisible to each stream."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.models.generation import generate_audio_tokens
+from csm_tpu.serving import BatchedServer, StreamRequest
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    return args, params
+
+
+def make_request(args, T, rid, seed, max_frames=4):
+    rng = np.random.default_rng(seed)
+    K = args.audio_num_codebooks
+    tokens = np.zeros((T, K + 1), np.int32)
+    mask = np.zeros((T, K + 1), bool)
+    tokens[:, -1] = rng.integers(1, args.text_vocab_size, T)
+    mask[:, -1] = True
+    return StreamRequest(tokens, mask, max_frames=max_frames, request_id=rid)
+
+
+def solo_frames(args, params, req):
+    K = args.audio_num_codebooks
+    T = req.tokens.shape[0]
+    S_pad = 64
+    toks = np.zeros((1, S_pad, K + 1), np.int32)
+    msk = np.zeros((1, S_pad, K + 1), bool)
+    toks[0, :T] = req.tokens
+    msk[0, :T] = req.mask
+    res = jax.jit(
+        lambda p, k: generate_audio_tokens(
+            p, args, k, jnp.asarray(toks), jnp.asarray(msk),
+            jnp.full((1,), T, jnp.int32), max_frames=req.max_frames,
+            temperature=1.0, topk=1, compute_dtype=jnp.float32,
+        )
+    )(params, jax.random.key(0))
+    n = int(res.num_frames[0])
+    return np.asarray(res.frames)[0, :n]
+
+
+def test_server_matches_single_stream(tiny):
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=2, max_seq_len=128,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+    )
+    reqs = [
+        make_request(args, 6, rid=0, seed=1),
+        make_request(args, 9, rid=1, seed=2),
+    ]
+    results, stats = server.run(list(reqs))
+    assert {r.request_id for r in results} == {0, 1}
+    by_id = {r.request_id: r for r in results}
+    for req in reqs:
+        want = solo_frames(args, params, req)
+        got = by_id[req.request_id].frames
+        assert got.shape[0] <= req.max_frames
+        np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
+    assert stats["total_frames"] == sum(r.n_steps for r in results)
+
+
+def test_continuous_admission(tiny):
+    """3 requests over 2 slots: the third admits once a slot frees."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=2, max_seq_len=256,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+    )
+    reqs = [make_request(args, 5 + i, rid=i, seed=10 + i, max_frames=3) for i in range(3)]
+    results, stats = server.run(list(reqs))
+    assert {r.request_id for r in results} == {0, 1, 2}
+    # each request matches its solo generation
+    for req in reqs:
+        want = solo_frames(args, params, req)
+        got = next(r for r in results if r.request_id == req.request_id).frames
+        np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
+
+
+def test_cache_exhaustion_guard(tiny):
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=1, max_seq_len=65,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+    )
+    req = make_request(args, 6, rid=0, seed=3, max_frames=50)
+    with pytest.raises(RuntimeError, match="cache exhausted"):
+        server.run([req])
