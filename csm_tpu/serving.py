@@ -65,7 +65,11 @@ class BatchedServer:
         temperature: float = 0.9,
         topk: int = 50,
         compute_dtype=jnp.bfloat16,
+        chunk_size: int = 1,
     ):
+        """``chunk_size`` — decode frames per host round-trip: EOS/admission
+        latency granularity trades against per-dispatch overhead (a chunk
+        runs as one ``lax.scan`` inside one jit; 8 ≈ 0.64 s of audio)."""
         self.params = params
         self.args = args
         self.n_slots = n_slots
@@ -73,6 +77,7 @@ class BatchedServer:
         self.temperature = temperature
         self.topk = topk
         self.compute_dtype = compute_dtype
+        self.chunk_size = chunk_size
         K = args.audio_num_codebooks
 
         self.state = csm.init_frame_state(
@@ -97,23 +102,41 @@ class BatchedServer:
     def _build_decode(self):
         args, K = self.args, self.args.audio_num_codebooks
         B = self.n_slots
+        n_chunk = self.chunk_size
         step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
 
         @jax.jit
         def decode(params, key, state: csm.FrameState, last_frame, pos, active):
-            # inactive slots run dead tokens at PAD_POS — harmless rows
-            tokens = jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(last_frame)
-            mask = jnp.broadcast_to(step_mask_live[None], (B, 1, K + 1)) & active[
-                :, None, None
-            ]
-            p = jnp.where(active, pos, csm.PAD_POS).astype(jnp.int32)[:, None]
-            frame, new_state = csm.generate_frame(
-                params, args, key, tokens, mask, p, state,
-                self.temperature, self.topk, self.compute_dtype,
+            """``n_chunk`` decode steps in one compiled program (lax.scan):
+            the per-dispatch host latency amortizes across the chunk.
+            Rows that hit EOS mid-chunk go dead for the rest of the chunk.
+            Inactive slots run dead tokens at PAD_POS — harmless rows.
+            """
+
+            def step(carry, key_i):
+                state, frame, pos, live = carry
+                tokens = (
+                    jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(frame)
+                )
+                mask = jnp.broadcast_to(step_mask_live[None], (B, 1, K + 1)) & live[
+                    :, None, None
+                ]
+                p = jnp.where(live, pos, csm.PAD_POS).astype(jnp.int32)[:, None]
+                new_frame, state = csm.generate_frame(
+                    params, args, key_i, tokens, mask, p, state,
+                    self.temperature, self.topk, self.compute_dtype,
+                )
+                live = live & ~jnp.all(new_frame == 0, axis=1)
+                new_frame = jnp.where(live[:, None], new_frame, 0)
+                return (state, new_frame, pos + 1, live), new_frame
+
+            keys = jax.random.split(key, n_chunk)
+            (state, frame, _, _), frames = jax.lax.scan(
+                step, (state, last_frame, pos, active), keys
             )
-            # NOTE: the shared cache offset advances by 1 for every slot
-            # column; kv_pos carries correctness (PAD slots never attended)
-            return frame, new_state
+            # NOTE: the shared cache offset advances by n_chunk for every
+            # slot column; kv_pos carries correctness (PAD never attended)
+            return frames, frame, state  # frames: (n_chunk, B, K)
 
         return decode
 
@@ -184,49 +207,56 @@ class BatchedServer:
         self.slot_budget[slot] = req.max_frames
         self.active[slot] = True
         f0 = np.asarray(frame0)
-        if np.all(f0 == 0):  # immediate EOS
+        if np.all(f0 == 0) or req.max_frames < 1:  # immediate EOS / no budget
             self._finish(slot)
         else:
             self.slot_frames[slot].append(f0)
             self.last_frame = self.last_frame.at[slot].set(frame0)
+            if req.max_frames == 1:
+                self._finish(slot)
         return slot
 
     def step(self) -> List[StreamResult]:
-        """Advance every active stream by one frame; returns finished."""
+        """Advance every active stream by one chunk of frames; returns
+        finished streams."""
         if not self.active.any():
             return []
         # Cache slots are position-tracked (kv_pos), not position-aligned,
         # so the shared write offset only bounds TOTAL rows written.  A
         # long-lived server needs per-slot ring offsets (future work);
         # guard against silent overwrite until then.
-        if self._offset_host + 1 > self.state.cache.max_seq_len:
+        if self._offset_host + self.chunk_size > self.state.cache.max_seq_len:
             raise RuntimeError(
                 "shared KV cache exhausted — restart the server or raise "
                 "max_seq_len (per-slot ring offsets not yet implemented)"
             )
-        self._offset_host += 1
+        self._offset_host += self.chunk_size
         self._key, sub = jax.random.split(self._key)
         # the fed token is frame #(n-1), at absolute position prompt_len+n-1
         pos = jnp.asarray(
-            self.slot_pos + np.array([len(f) for f in self.slot_frames]) - 1
+            self.slot_pos + np.array([len(f) for f in self.slot_frames]) - 1,
+            jnp.int32,
         )
-        frame, self.state = self._decode(
+        frames, last, self.state = self._decode(
             self.params, sub, self.state, self.last_frame, pos,
             jnp.asarray(self.active),
         )
-        self.last_frame = frame
-        self._step_count += 1
+        self.last_frame = last
+        self._step_count += self.chunk_size
 
         done: List[StreamResult] = []
-        f_host = np.asarray(frame)
+        f_host = np.asarray(frames)  # (chunk, B, K)
         for slot in np.nonzero(self.active)[0]:
             s = int(slot)
-            if np.all(f_host[s] == 0) or len(self.slot_frames[s]) + 1 >= self.slot_budget[s]:
-                if not np.all(f_host[s] == 0):
-                    self.slot_frames[s].append(f_host[s])
-                done.append(self._finish(s))
-            else:
-                self.slot_frames[s].append(f_host[s])
+            for t in range(f_host.shape[0]):
+                f = f_host[t, s]
+                if np.all(f == 0):  # EOS (device zeroes post-EOS frames)
+                    done.append(self._finish(s))
+                    break
+                self.slot_frames[s].append(f)
+                if len(self.slot_frames[s]) >= self.slot_budget[s]:
+                    done.append(self._finish(s))
+                    break
         return done
 
     def _finish(self, slot: int) -> StreamResult:

@@ -15,7 +15,7 @@ over ``model`` are inserted by XLA from the input shardings.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

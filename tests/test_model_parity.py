@@ -186,3 +186,25 @@ def test_checkpoint_roundtrip(tiny):
         jax.tree.map(np.asarray, params),
         reimported,
     )
+
+
+def test_safetensors_roundtrip(tiny, tmp_path):
+    """safetensors export (reference torchtune names) → import is identity
+    (the reference's MLX checkpoint format, src/csm/training/utils.py:577-861)."""
+    from csm_tpu.utils.safetensors_io import (
+        load_params_safetensors,
+        save_params_safetensors,
+    )
+
+    args, state, params, _ = tiny
+    p = str(tmp_path / "model.safetensors")
+    save_params_safetensors(p, params, args)
+    params2, args2 = load_params_safetensors(p)
+    assert args2 == args
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        params,
+        params2,
+    )

@@ -99,3 +99,23 @@ def test_cache_exhaustion_guard(tiny):
     req = make_request(args, 6, rid=0, seed=3, max_frames=50)
     with pytest.raises(RuntimeError, match="cache exhausted"):
         server.run([req])
+
+
+def test_chunked_decode_matches_single_stream(tiny):
+    """chunk_size>1 (multi-frame decode per dispatch) must not change
+    outputs: streams still equal their solo argmax generation."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=2, max_seq_len=256,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32, chunk_size=4,
+    )
+    reqs = [
+        make_request(args, 6, rid=0, seed=1, max_frames=6),
+        make_request(args, 9, rid=1, seed=2, max_frames=6),
+    ]
+    results, stats = server.run(list(reqs))
+    assert {r.request_id for r in results} == {0, 1}
+    for req in reqs:
+        want = solo_frames(args, params, req)
+        got = next(r for r in results if r.request_id == req.request_id).frames
+        np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
