@@ -190,7 +190,13 @@ class Generator:
             if self.mimi is None:
                 raise ValueError("decoding audio requires a Mimi tokenizer")
             audio = self.mimi.decode(frames[b, :n].T)  # (K, n) -> (T,)
-            audio = audio[: int(n / FRAME_RATE * self.sample_rate)]
+            audio = np.asarray(audio[: int(n / FRAME_RATE * self.sample_rate)])
+            if not np.all(np.isfinite(audio)):
+                # NaN-audio detection & repair (reference:
+                # src/csm/cli/generate_mlx.py:606-671)
+                bad = int(np.sum(~np.isfinite(audio)))
+                print(f"WARNING: repaired {bad} non-finite audio samples")
+                audio = np.nan_to_num(audio, nan=0.0, posinf=0.0, neginf=0.0)
             if self.watermarker is not None:
                 audio, _ = self.watermarker(audio, self.sample_rate)
             outs.append(np.asarray(audio, np.float32))

@@ -69,9 +69,26 @@ def llama3_2_100M() -> TransformerConfig:
     )
 
 
+def llama3_1_8B() -> TransformerConfig:
+    """8B backbone flavor — the original Sesame CSM's internal scale
+    (docs/reference/sesame_csm/components.md:8-10: 8B backbone + 300M
+    decoder; weights were never released).  Provided as the
+    tensor-parallel scaling target: shard over the mesh's ``model`` axis
+    (csm_tpu/parallel/sharding.py)."""
+    return TransformerConfig(
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        embed_dim=4096,
+        intermediate_dim=14336,
+        max_seq_len=2048,
+    )
+
+
 FLAVORS = {
     "llama-1B": llama3_2_1B,
     "llama-100M": llama3_2_100M,
+    "llama-8B": llama3_1_8B,
 }
 
 

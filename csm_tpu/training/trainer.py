@@ -215,6 +215,16 @@ class CSMTrainer:
                 self.global_step += 1
                 n_batches += 1
                 last_loss = float(metrics["loss"])
+                if not np.isfinite(last_loss):
+                    # NaN/Inf guard (the reference detects and repairs
+                    # non-finite losses, src/csm/training/utils.py:347-349,
+                    # mlx_trainer.py:817-821); with a deterministic stack a
+                    # non-finite loss is a data/LR bug — fail loudly.
+                    self.save_checkpoint("nonfinite_abort")
+                    raise FloatingPointError(
+                        f"non-finite loss {last_loss} at step "
+                        f"{self.global_step} (state saved)"
+                    )
 
                 self.metrics.log(
                     self.global_step,
