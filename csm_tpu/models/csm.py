@@ -115,10 +115,14 @@ class FrameState(NamedTuple):
     cache slot (PAD_POS for unwritten/padding slots) — this is what lets
     right-padded bucketed prompts coexist with a static-shape cache: padded
     slots are written but carry PAD_POS and are never attended.
+
+    ``offset`` is scalar (single-utterance generation: all rows fill in
+    lockstep) or (B,) per-row (multi-slot serving: each slot's row fills
+    independently and resets when a new request is admitted).
     """
 
     cache: KVCache
-    offset: jnp.ndarray  # scalar int32: number of cache slots written
+    offset: jnp.ndarray  # scalar or (B,) int32: cache columns written
     kv_pos: jnp.ndarray  # (B, max_seq) int32
 
 
@@ -173,11 +177,16 @@ def generate_frame(
 
     # ---- backbone incremental step ----
     h = masked_embed_sum(params, args, tokens, tokens_mask).astype(compute_dtype)
-    new_kv_pos = jax.lax.dynamic_update_slice(
-        state.kv_pos,
-        input_pos.astype(jnp.int32),
-        (jnp.zeros((), jnp.int32), state.offset),
-    )
+    if state.offset.ndim == 1:  # per-row offsets (serving): S must be 1
+        new_kv_pos = state.kv_pos.at[jnp.arange(B), state.offset].set(
+            input_pos[:, 0].astype(jnp.int32)
+        )
+    else:
+        new_kv_pos = jax.lax.dynamic_update_slice(
+            state.kv_pos,
+            input_pos.astype(jnp.int32),
+            (jnp.zeros((), jnp.int32), state.offset),
+        )
     # Long prefill uses the Pallas flash kernel (no (S, T) mask/score
     # materialization); decode steps (S=1) and short prefill stay on XLA.
     from csm_tpu.ops.flash_attention import use_flash

@@ -61,10 +61,24 @@ def update_layer(
     v_new: jnp.ndarray,
     offset: jnp.ndarray,
 ):
-    """Write (B, S, Hkv, D) new keys/values at ``offset`` into one layer's
-    (B, Smax, Hkv, D) cache."""
+    """Write (B, S, Hkv, D) new keys/values into one layer's
+    (B, Smax, Hkv, D) cache.
+
+    ``offset`` — scalar (all rows share the write start: prefill / the
+    single-utterance loop) or (B,) per-row starts (multi-slot serving,
+    where each slot fills its row independently).  Per-row writes require
+    S == 1 (the decode step) and lower to a row-indexed scatter.
+    """
+    offset = offset.astype(jnp.int32)
+    if offset.ndim == 1:  # per-row decode write
+        assert k_new.shape[1] == 1, "per-row cache offsets require S == 1"
+        B = k_cache.shape[0]
+        rows = jnp.arange(B)
+        k_cache = k_cache.at[rows, offset].set(k_new[:, 0].astype(k_cache.dtype))
+        v_cache = v_cache.at[rows, offset].set(v_new[:, 0].astype(v_cache.dtype))
+        return k_cache, v_cache
     zero = jnp.zeros((), dtype=jnp.int32)
-    start = (zero, offset.astype(jnp.int32), zero, zero)
+    start = (zero, offset, zero, zero)
     k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), start)
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), start)
     return k_cache, v_cache

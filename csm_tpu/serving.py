@@ -83,6 +83,12 @@ class BatchedServer:
         self.state = csm.init_frame_state(
             args, n_slots, compute_dtype, max_seq_len=max_seq_len
         )
+        # per-row cache offsets: each slot's row fills independently and
+        # resets on admission — a slot never exhausts the cache as long as
+        # prompt_bucket + max_frames <= max_seq_len (enforced in submit)
+        self.state = self.state._replace(
+            offset=jnp.zeros(n_slots, jnp.int32)
+        )
         # Per-slot host bookkeeping.
         self.slot_request: List[Optional[StreamRequest]] = [None] * n_slots
         self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(n_slots)]
@@ -91,7 +97,6 @@ class BatchedServer:
         self.active = np.zeros(n_slots, bool)
         self.last_frame = jnp.zeros((n_slots, K), jnp.int32)
         self._step_count = 0
-        self._offset_host = 0  # host mirror of state.offset (no device sync)
         self._key = jax.random.key(0)
 
         self._decode = self._build_decode()
@@ -134,8 +139,8 @@ class BatchedServer:
             (state, frame, _, _), frames = jax.lax.scan(
                 step, (state, last_frame, pos, active), keys
             )
-            # NOTE: the shared cache offset advances by n_chunk for every
-            # slot column; kv_pos carries correctness (PAD never attended)
+            # per-row offsets advance by n_chunk; idle rows write PAD_POS
+            # entries (never attended) and reset at the next admission
             return frames, frame, state  # frames: (n_chunk, B, K)
 
         return decode
@@ -169,7 +174,7 @@ class BatchedServer:
             kv_pos = jax.lax.dynamic_update_slice(
                 state.kv_pos, sub.kv_pos[:1], (slot, 0)
             )
-            offset = jnp.maximum(state.offset, sub.offset)
+            offset = state.offset.at[slot].set(sub.offset)
             return frame[0], csm.FrameState(KVCache(k, v), offset, kv_pos)
 
         self._prefills[bucket] = prefill
@@ -187,6 +192,12 @@ class BatchedServer:
         bucket = bucket_length(
             T, tuple(b for b in PROMPT_BUCKETS if b <= self.max_seq_len)
         )
+        if bucket + req.max_frames + self.chunk_size > self.max_seq_len:
+            raise ValueError(
+                f"request {req.request_id}: prompt bucket {bucket} + "
+                f"max_frames {req.max_frames} (+chunk {self.chunk_size}) "
+                f"exceeds max_seq_len {self.max_seq_len}"
+            )
         K = self.args.audio_num_codebooks
         toks = np.zeros((1, bucket, K + 1), np.int32)
         msk = np.zeros((1, bucket, K + 1), bool)
@@ -200,7 +211,6 @@ class BatchedServer:
             jnp.asarray(toks), jnp.asarray(msk), jnp.asarray(T, jnp.int32),
         )
 
-        self._offset_host = max(self._offset_host, bucket)
         self.slot_request[slot] = req
         self.slot_frames[slot] = []
         self.slot_pos[slot] = T
@@ -221,16 +231,6 @@ class BatchedServer:
         finished streams."""
         if not self.active.any():
             return []
-        # Cache slots are position-tracked (kv_pos), not position-aligned,
-        # so the shared write offset only bounds TOTAL rows written.  A
-        # long-lived server needs per-slot ring offsets (future work);
-        # guard against silent overwrite until then.
-        if self._offset_host + self.chunk_size > self.state.cache.max_seq_len:
-            raise RuntimeError(
-                "shared KV cache exhausted — restart the server or raise "
-                "max_seq_len (per-slot ring offsets not yet implemented)"
-            )
-        self._offset_host += self.chunk_size
         self._key, sub = jax.random.split(self._key)
         # the fed token is frame #(n-1), at absolute position prompt_len+n-1
         pos = jnp.asarray(

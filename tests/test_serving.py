@@ -90,15 +90,34 @@ def test_continuous_admission(tiny):
         np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
 
 
-def test_cache_exhaustion_guard(tiny):
+def test_budget_validation(tiny):
+    """A request whose prompt bucket + frame budget exceeds max_seq_len is
+    rejected at submit (per-slot offsets make admitted requests safe)."""
     args, params = tiny
     server = BatchedServer(
-        params, args, n_slots=1, max_seq_len=65,
+        params, args, n_slots=1, max_seq_len=80,
         temperature=1.0, topk=1, compute_dtype=jnp.float32,
     )
     req = make_request(args, 6, rid=0, seed=3, max_frames=50)
-    with pytest.raises(RuntimeError, match="cache exhausted"):
-        server.run([req])
+    with pytest.raises(ValueError, match="exceeds max_seq_len"):
+        server.submit(req)
+
+
+def test_slot_reuse_many_requests(tiny):
+    """Per-slot offsets reset on admission: serving many sequential
+    requests through one slot never exhausts the cache (total frames far
+    beyond max_seq_len)."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=1, max_seq_len=96,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32, chunk_size=2,
+    )
+    reqs = [make_request(args, 6, rid=i, seed=1, max_frames=20) for i in range(8)]
+    results, stats = server.run(list(reqs))
+    assert len(results) == 8
+    want = solo_frames(args, params, reqs[0])
+    for r in results:  # identical prompts => identical argmax streams
+        np.testing.assert_array_equal(r.frames[: want.shape[0]], want[: r.frames.shape[0]])
 
 
 def test_chunked_decode_matches_single_stream(tiny):
