@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--watermark-ckpt", type=str, default=None,
                    help="Directory with silentcipher torch checkpoints")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Write a jax.profiler trace of the generation to DIR "
+                        "(view with XProf/TensorBoard)")
     add_tiny_test_flag(p)
     return p
 
@@ -85,15 +88,18 @@ def main(argv=None) -> int:
     context = load_context(args, generator)
     print(f"Generating: {args.text!r} (speaker {speaker}, "
           f"{len(context)} context segments)")
-    audio = generator.generate(
-        args.text,
-        speaker=speaker,
-        context=context,
-        max_audio_length_ms=args.max_audio_length_ms,
-        temperature=args.temperature,
-        topk=args.topk,
-        seed=args.seed,
-    )
+    from csm_tpu.utils.observability import profile_trace
+
+    with profile_trace(args.profile, enabled=args.profile is not None):
+        audio = generator.generate(
+            args.text,
+            speaker=speaker,
+            context=context,
+            max_audio_length_ms=args.max_audio_length_ms,
+            temperature=args.temperature,
+            topk=args.topk,
+            seed=args.seed,
+        )
 
     from csm_tpu.data.audio import save_wav
 
