@@ -83,4 +83,5 @@ def build_generator(args, compute_dtype=None):
         getattr(args, "model_path", None),
         mimi_path=getattr(args, "mimi_path", None),
         compute_dtype=dtype,
+        quantize=getattr(args, "int8", False),
     )

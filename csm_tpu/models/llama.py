@@ -90,9 +90,15 @@ def _layer_forward(
     D = cfg.head_dim
 
     def proj(x, name):
-        # weights cast to the activation dtype: params may be stored f32
-        # while the compute dtype is bf16 (mixed-precision training)
-        y = x @ lp[name].astype(x.dtype)
+        w = lp[name]
+        if isinstance(w, dict):  # int8 weight-only quantization
+            # XLA fuses the convert into the matmul operand load, so only
+            # int8 bytes stream from HBM (csm_tpu/utils/quantize.py)
+            y = (x @ w["w8"].astype(x.dtype)) * w["scale"].astype(x.dtype)
+        else:
+            # weights cast to the activation dtype: params may be stored
+            # f32 while the compute dtype is bf16
+            y = x @ w.astype(x.dtype)
         if lora is not None and name in lora:
             ad = lora[name]
             y = y + ((x @ ad["a"].astype(x.dtype)) @ ad["b"].astype(x.dtype)) * lora_scale
