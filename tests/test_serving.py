@@ -138,3 +138,22 @@ def test_chunked_decode_matches_single_stream(tiny):
         want = solo_frames(args, params, req)
         got = next(r for r in results if r.request_id == req.request_id).frames
         np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
+
+
+def test_server_with_quantized_params(tiny):
+    """int8 weight-only params flow through serving unchanged (the layer
+    forward dequantizes transparently); streams match the quantized solo
+    generation."""
+    from csm_tpu.utils.quantize import quantize_csm_params
+
+    args, params = tiny
+    qparams = quantize_csm_params(params)
+    server = BatchedServer(
+        qparams, args, n_slots=2, max_seq_len=128,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32, chunk_size=2,
+    )
+    req = make_request(args, 6, rid=0, seed=1, max_frames=4)
+    results, _ = server.run([req])
+    want = solo_frames(args, qparams, req)
+    got = results[0].frames
+    np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])

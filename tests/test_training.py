@@ -160,3 +160,20 @@ def test_eval_step(tiny):
     ev = make_eval_step(args, compute_dtype=jnp.float32)
     metrics = ev(params, jax.random.key(0), batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_gradient_accumulation(tiny):
+    """accumulation_steps=2: params change only every 2nd micro-step
+    (optax.MultiSteps semantics, the reference's accumulation loop)."""
+    args, _ = tiny
+    params = init_csm_params(jax.random.key(4), args, jnp.float32)
+    batch = make_batch(args, B=2, T=8)
+    tx = make_optimizer(params, learning_rate=1e-3, accumulation_steps=2)
+    state = init_train_state(jax.tree.map(jnp.array, params), tx)
+    step = make_train_step(args, tx, compute_dtype=jnp.float32)
+
+    before = np.asarray(params["decoder"]["wq"]).copy()
+    state, _ = step(state, jax.random.key(0), batch)  # micro-step 1: no update
+    np.testing.assert_array_equal(np.asarray(state.params["decoder"]["wq"]), before)
+    state, _ = step(state, jax.random.key(1), batch)  # micro-step 2: update
+    assert not np.array_equal(np.asarray(state.params["decoder"]["wq"]), before)
