@@ -216,6 +216,90 @@ class Generator:
         return outs
 
 
+def _streaming_server_cache(gen: "Generator", chunk_frames: int, topk: int):
+    srv = getattr(gen, "_stream_servers", None)
+    if srv is None:
+        srv = gen._stream_servers = {}
+    key = (chunk_frames, topk)
+    if key not in srv:
+        from csm_tpu.serving import BatchedServer
+
+        srv[key] = BatchedServer(
+            gen.params, gen.args, n_slots=1, max_seq_len=gen.max_seq_len,
+            topk=topk, compute_dtype=gen.compute_dtype,
+            chunk_size=chunk_frames,
+        )
+    return srv[key]
+
+
+def _generator_streaming(
+    self,
+    text: str,
+    speaker: int = 0,
+    context: Optional[List[Segment]] = None,
+    max_audio_length_ms: float = 90_000,
+    temperature: float = 0.9,
+    topk: int = 50,
+    seed: int = 0,
+    chunk_frames: int = 13,
+):
+    """Stream generation: yields (audio_chunk float32 @24 kHz, done bool)
+    roughly every ``chunk_frames`` × 80 ms of audio.
+
+    First-audio latency ≈ prefill + chunk_frames frames + one Mimi decode —
+    the low-latency serving mode (the original CSM's headline UX metric is
+    ~380 ms to first audio, docs/reference/sesame_csm/inference.md).  The
+    emitted stream is EXACT: Mimi is streaming-causal, so decoding the
+    growing code buffer and slicing off the new samples reproduces the
+    non-streaming waveform.  Watermarking is skipped in streaming mode
+    (it operates on complete utterances) — watermark the concatenation.
+    """
+    from csm_tpu.serving import StreamRequest
+
+    context = context or []
+    tokens, mask = self._build_prompt(text, speaker, context)
+    max_frames = int(max_audio_length_ms / MS_PER_FRAME)
+    limit = self.max_seq_len - max_frames
+    if tokens.shape[0] >= limit:
+        raise ValueError(
+            f"prompt too long: {tokens.shape[0]} >= {limit}"
+        )
+    if self.mimi is None:
+        raise ValueError("streaming decode requires a Mimi tokenizer")
+
+    server = _streaming_server_cache(self, chunk_frames, topk)
+    server.reset(seed)
+    server.temperature = temperature
+    server.submit(StreamRequest(tokens, mask, max_frames=max_frames))
+
+    spf = int(self.sample_rate / FRAME_RATE)  # 1920 samples per 80 ms frame
+    emitted = 0
+    result = None
+    while server.active.any():
+        finished = server.step()
+        if finished:
+            result = finished[0]
+        frames = (
+            result.frames
+            if result is not None
+            else np.stack(server.slot_frames[0])
+            if server.slot_frames[0]
+            else None
+        )
+        if frames is None or frames.shape[0] * spf <= emitted:
+            continue
+        audio = self.mimi.decode(frames.T)
+        n = frames.shape[0] * spf
+        chunk = np.asarray(audio[emitted:n], np.float32)
+        emitted = n
+        yield chunk, result is not None
+    if result is None or emitted == 0:
+        yield np.zeros(0, np.float32), True
+
+
+Generator.generate_streaming = _generator_streaming
+
+
 def load_csm_1b(
     ckpt_path: Optional[str] = None,
     mimi_path: Optional[str] = None,

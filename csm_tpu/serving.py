@@ -69,7 +69,10 @@ class BatchedServer:
     ):
         """``chunk_size`` — decode frames per host round-trip: EOS/admission
         latency granularity trades against per-dispatch overhead (a chunk
-        runs as one ``lax.scan`` inside one jit; 8 ≈ 0.64 s of audio)."""
+        runs as one ``lax.scan`` inside one jit; 8 ≈ 0.64 s of audio).
+
+        ``temperature`` is a runtime argument of the compiled programs
+        (mutate ``self.temperature`` freely); ``topk`` is compile-static."""
         self.params = params
         self.args = args
         self.n_slots = n_slots
@@ -102,6 +105,21 @@ class BatchedServer:
         self._decode = self._build_decode()
         self._prefills: Dict[int, Callable] = {}
 
+    def reset(self, seed: int = 0):
+        """Clear all streams/state; compiled programs stay cached."""
+        K = self.args.audio_num_codebooks
+        self.state = csm.init_frame_state(
+            self.args, self.n_slots, self.compute_dtype,
+            max_seq_len=self.max_seq_len,
+        )._replace(offset=jnp.zeros(self.n_slots, jnp.int32))
+        self.slot_request = [None] * self.n_slots
+        self.slot_frames = [[] for _ in range(self.n_slots)]
+        self.slot_pos[:] = 0
+        self.slot_budget[:] = 0
+        self.active[:] = False
+        self.last_frame = jnp.zeros((self.n_slots, K), jnp.int32)
+        self._key = jax.random.key(seed)
+
     # ---- compiled programs ----
 
     def _build_decode(self):
@@ -111,7 +129,8 @@ class BatchedServer:
         step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
 
         @jax.jit
-        def decode(params, key, state: csm.FrameState, last_frame, pos, active):
+        def decode(params, key, state: csm.FrameState, last_frame, pos, active,
+                   temperature):
             """``n_chunk`` decode steps in one compiled program (lax.scan):
             the per-dispatch host latency amortizes across the chunk.
             Rows that hit EOS mid-chunk go dead for the rest of the chunk.
@@ -129,7 +148,7 @@ class BatchedServer:
                 p = jnp.where(live, pos, csm.PAD_POS).astype(jnp.int32)[:, None]
                 new_frame, state = csm.generate_frame(
                     params, args, key_i, tokens, mask, p, state,
-                    self.temperature, self.topk, self.compute_dtype,
+                    temperature, self.topk, self.compute_dtype,
                 )
                 live = live & ~jnp.all(new_frame == 0, axis=1)
                 new_frame = jnp.where(live[:, None], new_frame, 0)
@@ -153,7 +172,8 @@ class BatchedServer:
         args, K = self.args, self.args.audio_num_codebooks
 
         @jax.jit
-        def prefill(params, key, state: csm.FrameState, slot, tokens, mask, length):
+        def prefill(params, key, state: csm.FrameState, slot, tokens, mask, length,
+                    temperature):
             sub = csm.init_frame_state(
                 args, 1, self.compute_dtype, max_seq_len=state.cache.max_seq_len
             )
@@ -161,7 +181,7 @@ class BatchedServer:
             pos = jnp.where(col[None, :] < length, col[None, :], csm.PAD_POS)
             frame, sub = csm.generate_frame(
                 params, args, key, tokens, mask, pos, sub,
-                self.temperature, self.topk, self.compute_dtype,
+                temperature, self.topk, self.compute_dtype,
                 last_idx=length[None] - 1,
             )
             # merge slot rows into the shared state
@@ -209,6 +229,7 @@ class BatchedServer:
         frame0, self.state = prefill(
             self.params, sub, self.state, jnp.int32(slot),
             jnp.asarray(toks), jnp.asarray(msk), jnp.asarray(T, jnp.int32),
+            jnp.float32(self.temperature),
         )
 
         self.slot_request[slot] = req
@@ -239,7 +260,7 @@ class BatchedServer:
         )
         frames, last, self.state = self._decode(
             self.params, sub, self.state, self.last_frame, pos,
-            jnp.asarray(self.active),
+            jnp.asarray(self.active), jnp.float32(self.temperature),
         )
         self.last_frame = last
         self._step_count += self.chunk_size

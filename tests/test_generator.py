@@ -108,3 +108,19 @@ def test_watermarker_hook(gen):
     if audio.shape[0]:
         assert calls and calls[0][1] == SR
         assert np.abs(audio).max() <= 0.5 + 1e-6
+
+
+def test_streaming_matches_batch(gen):
+    """Streaming chunks concatenate to EXACTLY the non-streaming waveform
+    (argmax decoding; Mimi causality makes incremental decode exact)."""
+    args, g = gen
+    kwargs = dict(speaker=1, max_audio_length_ms=480, temperature=1.0, topk=1)
+    full = g.generate("stream me", seed=0, **kwargs)
+    chunks = list(
+        g.generate_streaming("stream me", chunk_frames=2, seed=0, **kwargs)
+    )
+    assert chunks[-1][1] is True  # final flag
+    audio = np.concatenate([c for c, _ in chunks]) if chunks else np.zeros(0)
+    np.testing.assert_allclose(audio, full, atol=1e-6)
+    # at least two incremental emissions for a 6-frame budget
+    assert len([c for c, _ in chunks if len(c)]) >= 2
