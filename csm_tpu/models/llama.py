@@ -77,6 +77,8 @@ def _layer_forward(
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     flash_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    lora_dropout_rate: float = 0.0,
+    lora_key: Optional[jax.Array] = None,
 ):
     """One transformer block. Returns (h, (k_cache, v_cache)|None).
 
@@ -88,6 +90,8 @@ def _layer_forward(
     """
     B, S, E = h.shape
     D = cfg.head_dim
+
+    proj_ids = {"wq": 0, "wk": 1, "wv": 2, "wo": 3, "w1": 4, "w2": 5, "w3": 6}
 
     def proj(x, name):
         w = lp[name]
@@ -101,7 +105,17 @@ def _layer_forward(
             y = x @ w.astype(x.dtype)
         if lora is not None and name in lora:
             ad = lora[name]
-            y = y + ((x @ ad["a"].astype(x.dtype)) @ ad["b"].astype(x.dtype)) * lora_scale
+            xa = x
+            if lora_dropout_rate > 0.0 and lora_key is not None:
+                # adapter-input dropout (reference LoRALinear,
+                # src/csm/mlx/components/lora.py:71-105); one key per
+                # (layer, projection)
+                k = jax.random.fold_in(lora_key, proj_ids[name])
+                keep = jax.random.bernoulli(k, 1.0 - lora_dropout_rate, x.shape)
+                xa = jnp.where(keep, x / (1.0 - lora_dropout_rate), 0.0).astype(
+                    x.dtype
+                )
+            y = y + ((xa @ ad["a"].astype(x.dtype)) @ ad["b"].astype(x.dtype)) * lora_scale
         return y
 
     # --- attention ---
@@ -149,6 +163,8 @@ def transformer_apply(
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     flash_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    lora_dropout_rate: float = 0.0,
+    lora_dropout_key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the transformer.
 
@@ -171,6 +187,9 @@ def transformer_apply(
             Pallas flash-attention kernel (csm_tpu/ops/flash_attention.py)
             with position-derived masking instead of the materialized
             ``mask`` (long-sequence prefill / training on TPU).
+        lora_dropout_rate / lora_dropout_key: adapter-input dropout during
+            LoRA training (per-layer, per-projection keys; inactive when
+            the key is None — i.e. at eval/inference).
 
     Returns:
         (h_out (B, S, E), updated cache or None)
@@ -198,13 +217,20 @@ def transformer_apply(
         h, (new_k, new_v) = jax.lax.scan(body, h, xs)
         new_cache = KVCache(new_k, new_v)
     else:
-        xs = (stacked, lora)
+        L = cfg.num_layers
+        layer_keys = (
+            jax.random.split(lora_dropout_key, L)
+            if (lora_dropout_key is not None and lora_dropout_rate > 0.0)
+            else None
+        )
+        xs = (stacked, lora, layer_keys)
 
         def body(carry, x):
-            lp, lo = x
+            lp, lo, lk = x
             h_new, _ = _layer_forward(
                 carry, lp, cfg, cos, sin, mask, None, None,
                 lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
+                lora_dropout_rate=lora_dropout_rate, lora_key=lk,
             )
             return h_new, None
 

@@ -86,6 +86,7 @@ def compute_loss(
     remat: bool = False,
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
+    lora_dropout: float = 0.0,
 ) -> Tuple[jnp.ndarray, dict]:
     """Total training loss + metrics.
 
@@ -100,6 +101,8 @@ def compute_loss(
     K = args.audio_num_codebooks
     bb, dec = args.backbone, args.decoder
     B, T, _ = batch.tokens.shape
+    k_bb_drop, k_dec_drop, key = jax.random.split(key, 3)
+    drop_on = lora is not None and lora_dropout > 0.0
 
     # ---- backbone over the full sequence ----
     from csm_tpu.ops.flash_attention import use_flash
@@ -116,6 +119,8 @@ def compute_loss(
         lora=None if lora is None else lora.get("backbone"),
         lora_scale=lora_scale,
         flash_pos=flash_pos,
+        lora_dropout_rate=lora_dropout if drop_on else 0.0,
+        lora_dropout_key=k_bb_drop if drop_on else None,
     )  # (B, T, E_b)
 
     # ---- semantic loss: codebook-0 on every frame ----
@@ -150,6 +155,8 @@ def compute_loss(
         params["decoder"], dec, dec_in, dec_pos, dec_mask, remat=remat,
         lora=None if lora is None else lora.get("decoder"),
         lora_scale=lora_scale,
+        lora_dropout_rate=lora_dropout if drop_on else 0.0,
+        lora_dropout_key=k_dec_drop if drop_on else None,
     )  # (n_sub, K, E_d)
 
     # Logits for codebooks 1..K-1 from decoder positions 1..K-1.

@@ -72,6 +72,7 @@ def make_lora_train_step(
     amortization_ratio: int = 16,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    lora_dropout: float = 0.0,
 ) -> Callable:
     """Jitted ``step(lora_state, base_params, key, batch)`` — differentiates
     ONLY the adapter tree; the frozen base rides along un-donated
@@ -90,6 +91,7 @@ def make_lora_train_step(
             remat=remat,
             lora=lora,
             lora_scale=lora_scale,
+            lora_dropout=lora_dropout,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

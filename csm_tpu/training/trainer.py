@@ -384,6 +384,7 @@ class CSMLoRATrainer(CSMTrainer):
             acoustic_weight=self.acoustic_weight,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            lora_dropout=self.lora_config.dropout,
         )
         self._eval_fn = self._make_lora_eval()
         return self.tx

@@ -190,3 +190,31 @@ def test_lora_in_loss(tiny):
     )(params))
     with_lora = float(f(params, lora))
     assert abs(base - with_lora) > 1e-6
+
+
+def test_lora_dropout_active_in_training_only(tiny):
+    """With dropout > 0 the loss is stochastic across keys during training
+    and the adapters still train; dropout never fires without a key."""
+    args, params = tiny
+    lcfg = LoRAConfig(r=4, dropout=0.5)
+    lora = init_lora_params(jax.random.key(5), args, lcfg)
+    # make adapters non-trivial so dropout changes the forward
+    lora = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.key(6), x.shape), lora
+    )
+    batch = make_batch(args, B=2, T=8)
+    f = jax.jit(
+        lambda k: compute_loss(
+            params, args, k, batch, compute_dtype=jnp.float32,
+            lora=lora, lora_scale=lcfg.scaling, lora_dropout=lcfg.dropout,
+        )[0]
+    )
+    l1, l2 = float(f(jax.random.key(1))), float(f(jax.random.key(2)))
+    assert l1 != l2  # dropout noise differs across keys
+    g = jax.jit(
+        lambda k: compute_loss(
+            params, args, k, batch, compute_dtype=jnp.float32,
+            lora=lora, lora_scale=lcfg.scaling, lora_dropout=0.0,
+        )[0]
+    )
+    assert float(g(jax.random.key(1))) == float(g(jax.random.key(2)))
