@@ -193,8 +193,10 @@ def test_lora_in_loss(tiny):
 
 
 def test_lora_dropout_active_in_training_only(tiny):
-    """With dropout > 0 the loss is stochastic across keys during training
-    and the adapters still train; dropout never fires without a key."""
+    """Adapter-input dropout: the forward is key-stochastic with a dropout
+    key, and identical to the no-dropout forward without one.  (The full
+    loss is always key-stochastic via amortized frame subsampling, so the
+    check isolates the transformer forward.)"""
     args, params = tiny
     lcfg = LoRAConfig(r=4, dropout=0.5)
     lora = init_lora_params(jax.random.key(5), args, lcfg)
@@ -202,19 +204,39 @@ def test_lora_dropout_active_in_training_only(tiny):
     lora = jax.tree.map(
         lambda x: x + 0.1 * jax.random.normal(jax.random.key(6), x.shape), lora
     )
-    batch = make_batch(args, B=2, T=8)
+    h = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6, args.backbone.embed_dim)),
+        jnp.float32,
+    )
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    mask = causal_mask_from_positions(pos, pos[0])
     f = jax.jit(
-        lambda k: compute_loss(
-            params, args, k, batch, compute_dtype=jnp.float32,
-            lora=lora, lora_scale=lcfg.scaling, lora_dropout=lcfg.dropout,
-        )[0]
+        lambda k, rate: transformer_apply(
+            params["backbone"], args.backbone, h, pos, mask,
+            lora=lora["backbone"], lora_scale=lcfg.scaling,
+            lora_dropout_rate=rate, lora_dropout_key=k,
+        )[0],
+        static_argnums=(1,),
     )
-    l1, l2 = float(f(jax.random.key(1))), float(f(jax.random.key(2)))
-    assert l1 != l2  # dropout noise differs across keys
-    g = jax.jit(
-        lambda k: compute_loss(
-            params, args, k, batch, compute_dtype=jnp.float32,
-            lora=lora, lora_scale=lcfg.scaling, lora_dropout=0.0,
-        )[0]
+    o1 = np.asarray(f(jax.random.key(1), 0.5))
+    o2 = np.asarray(f(jax.random.key(2), 0.5))
+    assert not np.array_equal(o1, o2)  # dropout noise differs across keys
+    # without a key (inference/eval) the forward matches rate=0 exactly
+    base = np.asarray(
+        jax.jit(
+            lambda: transformer_apply(
+                params["backbone"], args.backbone, h, pos, mask,
+                lora=lora["backbone"], lora_scale=lcfg.scaling,
+            )[0]
+        )()
     )
-    assert float(g(jax.random.key(1))) == float(g(jax.random.key(2)))
+    no_key = np.asarray(
+        jax.jit(
+            lambda: transformer_apply(
+                params["backbone"], args.backbone, h, pos, mask,
+                lora=lora["backbone"], lora_scale=lcfg.scaling,
+                lora_dropout_rate=0.5, lora_dropout_key=None,
+            )[0]
+        )()
+    )
+    np.testing.assert_array_equal(no_key, base)
