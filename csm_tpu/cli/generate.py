@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip watermarking the generated audio")
     p.add_argument("--watermark-ckpt", type=str, default=None,
                    help="Directory with silentcipher torch checkpoints")
+    p.add_argument("--stream", action="store_true",
+                   help="Stream generation (low first-audio latency): decode "
+                        "in chunks and report per-chunk latency; watermarking "
+                        "is applied to the final concatenation")
+    p.add_argument("--chunk-frames", type=int, default=6,
+                   help="Frames per streamed chunk (6 = 480 ms of audio)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Write a jax.profiler trace of the generation to DIR "
@@ -93,15 +99,41 @@ def main(argv=None) -> int:
     from csm_tpu.utils.observability import profile_trace
 
     with profile_trace(args.profile, enabled=args.profile is not None):
-        audio = generator.generate(
-            args.text,
-            speaker=speaker,
-            context=context,
-            max_audio_length_ms=args.max_audio_length_ms,
-            temperature=args.temperature,
-            topk=args.topk,
-            seed=args.seed,
-        )
+        if args.stream:
+            import numpy as np
+
+            t0 = time.time()
+            chunks = []
+            for i, (chunk, done) in enumerate(
+                generator.generate_streaming(
+                    args.text, speaker=speaker, context=context,
+                    max_audio_length_ms=args.max_audio_length_ms,
+                    temperature=args.temperature, topk=args.topk,
+                    seed=args.seed, chunk_frames=args.chunk_frames,
+                )
+            ):
+                chunks.append(chunk)
+                tag = "first audio" if i == 0 else f"chunk {i}"
+                print(f"  {tag}: +{len(chunk) / generator.sample_rate * 1000:.0f} ms "
+                      f"audio at t={time.time() - t0:.3f}s")
+            audio = np.concatenate(chunks) if chunks else np.zeros(0, "float32")
+            if generator.watermarker is not None and audio.shape[0]:
+                audio, _ = generator.watermarker(audio, generator.sample_rate)
+            generator.last_stats = {
+                "wall_s": time.time() - t0,
+                "rtf": len(audio) / generator.sample_rate / max(time.time() - t0, 1e-9),
+                "frames_per_s": len(audio) / 1920 / max(time.time() - t0, 1e-9),
+            }
+        else:
+            audio = generator.generate(
+                args.text,
+                speaker=speaker,
+                context=context,
+                max_audio_length_ms=args.max_audio_length_ms,
+                temperature=args.temperature,
+                topk=args.topk,
+                seed=args.seed,
+            )
 
     from csm_tpu.data.audio import save_wav
 

@@ -139,3 +139,16 @@ def test_benchmark_lora_cli(tmp_path):
     md = open(out).read()
     assert "LoRA Benchmark Report" in md
     assert os.path.exists(str(tmp_path / "lora_bench.json"))
+
+
+def test_generate_stream_tiny(tmp_path):
+    out = str(tmp_path / "stream.wav")
+    rc = cli_generate.main([
+        "--text", "stream hello", "--speaker", "2",
+        "--output", out, "--max-audio-length-ms", "400",
+        "--chunk-frames", "2", "--stream",
+        "--no-watermark", "--tiny-test", "--seed", "5",
+    ])
+    assert rc == 0
+    audio, sr = load_wav(out)
+    assert sr == 24_000 and audio.shape[0] <= 5 * 1920
