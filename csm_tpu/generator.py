@@ -275,6 +275,13 @@ def _generator_streaming(
     spf = int(self.sample_rate / FRAME_RATE)  # 1920 samples per 80 ms frame
     emitted = 0
     result = None
+    finished_at_submit = server.step() if not server.active.any() else []
+    if finished_at_submit:
+        result = finished_at_submit[0]
+        if result.frames.shape[0]:
+            audio = self.mimi.decode(result.frames.T)
+            yield np.asarray(audio[: result.frames.shape[0] * spf], np.float32), True
+            return
     while server.active.any():
         finished = server.step()
         if finished:

@@ -101,6 +101,9 @@ class BatchedServer:
         self.last_frame = jnp.zeros((n_slots, K), jnp.int32)
         self._step_count = 0
         self._key = jax.random.key(0)
+        # streams that finish during submit() (immediate EOS / budget <= 1)
+        # surface through the next step()/run() drain
+        self._finished_at_submit: List[StreamResult] = []
 
         self._decode = self._build_decode()
         self._prefills: Dict[int, Callable] = {}
@@ -118,6 +121,7 @@ class BatchedServer:
         self.slot_budget[:] = 0
         self.active[:] = False
         self.last_frame = jnp.zeros((self.n_slots, K), jnp.int32)
+        self._finished_at_submit = []
         self._key = jax.random.key(seed)
 
     # ---- compiled programs ----
@@ -239,19 +243,21 @@ class BatchedServer:
         self.active[slot] = True
         f0 = np.asarray(frame0)
         if np.all(f0 == 0) or req.max_frames < 1:  # immediate EOS / no budget
-            self._finish(slot)
+            self._finished_at_submit.append(self._finish(slot))
         else:
             self.slot_frames[slot].append(f0)
             self.last_frame = self.last_frame.at[slot].set(frame0)
             if req.max_frames == 1:
-                self._finish(slot)
+                self._finished_at_submit.append(self._finish(slot))
         return slot
 
     def step(self) -> List[StreamResult]:
         """Advance every active stream by one chunk of frames; returns
         finished streams."""
+        done: List[StreamResult] = self._finished_at_submit
+        self._finished_at_submit = []
         if not self.active.any():
-            return []
+            return done
         self._key, sub = jax.random.split(self._key)
         # the fed token is frame #(n-1), at absolute position prompt_len+n-1
         pos = jnp.asarray(
@@ -265,7 +271,6 @@ class BatchedServer:
         self.last_frame = last
         self._step_count += self.chunk_size
 
-        done: List[StreamResult] = []
         f_host = np.asarray(frames)  # (chunk, B, K)
         for slot in np.nonzero(self.active)[0]:
             s = int(slot)

@@ -157,3 +157,18 @@ def test_server_with_quantized_params(tiny):
     want = solo_frames(args, qparams, req)
     got = results[0].frames
     np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
+
+
+def test_submit_time_finish_is_returned(tiny):
+    """A request with max_frames=1 finishes at submit; its result must
+    still come back from run()."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=1, max_seq_len=96,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+    )
+    reqs = [make_request(args, 6, rid=0, seed=1, max_frames=1),
+            make_request(args, 6, rid=1, seed=2, max_frames=3)]
+    results, _ = server.run(list(reqs))
+    assert {r.request_id for r in results} == {0, 1}
+    assert next(r for r in results if r.request_id == 0).frames.shape[0] <= 1
