@@ -1,0 +1,31 @@
+"""int8 vs bf16 single-stream CSM-1B generation. See BENCHMARKS.md."""
+import time, sys, jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from csm_tpu.models.config import csm_1b_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.models.generation import generate_audio_tokens
+from csm_tpu.utils.quantize import quantize_csm_params
+def log(*a): print(*a, file=sys.stderr, flush=True)
+
+args = csm_1b_args()
+K = args.audio_num_codebooks
+params = jax.jit(lambda k: init_csm_params(k, args, jnp.bfloat16))(jax.random.key(0))
+jax.block_until_ready(params["audio_head"])
+qparams = jax.jit(quantize_csm_params)(params)
+jax.block_until_ready(qparams["backbone"]["wq"]["w8"])
+B, S, max_frames = 1, 64, 125
+toks = jnp.zeros((B,S,K+1), jnp.int32).at[:,:,-1].set(5)
+msk = jnp.zeros((B,S,K+1), bool).at[:,:,-1].set(True)
+lens = jnp.full((B,), S, jnp.int32)
+def gen(p, k):
+    return generate_audio_tokens(p, args, k, toks, msk, lens, max_frames=max_frames,
+                                 temperature=0.9, topk=50, compute_dtype=jnp.bfloat16)
+g = jax.jit(gen)
+for name, p in (("bf16", params), ("int8", qparams)):
+    r = g(p, jax.random.key(1)); jax.block_until_ready(r.frames)
+    best = 1e9
+    for i in range(3):
+        t0 = time.time()
+        r = g(p, jax.random.key(2+i)); jax.block_until_ready(r.frames)
+        best = min(best, time.time()-t0)
+    log(f"{name}: {best:.3f}s ({max_frames/best:.1f} frames/s, RTF {max_frames/12.5/best:.2f})")
