@@ -124,3 +124,42 @@ def test_streaming_matches_batch(gen):
     np.testing.assert_allclose(audio, full, atol=1e-6)
     # at least two incremental emissions for a 6-frame budget
     assert len([c for c, _ in chunks if len(c)]) >= 2
+
+
+def test_contextual_generation_real_codec():
+    """BASELINE.json config 2: two-speaker Segment history with
+    Mimi-ENCODED reference audio, decoded back through the real (tiny)
+    Mimi codec — the full encode->prompt->generate->decode path."""
+    import jax
+
+    from csm_tpu.codec.mimi import MimiConfig, mimi_init
+    from csm_tpu.codec.transformer import MimiTransformerConfig
+    from csm_tpu.data.tokenizers import MimiAudioTokenizer
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    mcfg = MimiConfig(
+        num_quantizers=args.audio_num_codebooks,
+        codebook_size=args.audio_vocab_size - 3,
+        transformer=MimiTransformerConfig(num_layers=1),
+    )
+    mimi = MimiAudioTokenizer(mimi_init(jax.random.key(1), mcfg), cfg=mcfg)
+    g = Generator(params, args, mimi=mimi, text_tokenizer=ByteTokenizer(),
+                  compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    ctx = [
+        Segment(0, "hello there", (rng.standard_normal(SPF * 2) * 0.1).astype(np.float32)),
+        Segment(1, "hi, how are you", (rng.standard_normal(SPF * 3) * 0.1).astype(np.float32)),
+    ]
+    audio = g.generate("doing great thanks", speaker=0, context=ctx,
+                       max_audio_length_ms=240, temperature=0.9, topk=5, seed=2)
+    assert audio.dtype == np.float32
+    assert audio.shape[0] <= 3 * SPF
+    assert np.all(np.isfinite(audio))
+    # context actually conditions the generation: different context ->
+    # (almost surely) different tokens under fixed seed
+    audio2 = g.generate("doing great thanks", speaker=0, context=[],
+                        max_audio_length_ms=240, temperature=0.9, topk=5, seed=2)
+    if audio.shape == audio2.shape and audio.shape[0] > 0:
+        assert not np.allclose(audio, audio2)
