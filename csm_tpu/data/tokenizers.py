@@ -120,3 +120,10 @@ class MimiAudioTokenizer:
         buf[:, :F] = codes
         audio = np.asarray(self._decode(self.params, jnp.asarray(buf)[None]))[0]
         return audio[: F * self.cfg.samples_per_frame]
+
+    def stream_decoder(self):
+        """Stateful streaming decoder: O(chunk) codec work per chunk
+        (csm_tpu/codec/streaming.py), exact vs full ``decode``."""
+        from csm_tpu.codec.streaming import MimiStreamDecoder
+
+        return MimiStreamDecoder(self.params, self.cfg)

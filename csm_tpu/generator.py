@@ -249,10 +249,12 @@ def _generator_streaming(
     First-audio latency ≈ prefill + chunk_frames frames + one Mimi decode —
     the low-latency serving mode (the original CSM's headline UX metric is
     ~380 ms to first audio, docs/reference/sesame_csm/inference.md).  The
-    emitted stream is EXACT: Mimi is streaming-causal, so decoding the
-    growing code buffer and slicing off the new samples reproduces the
-    non-streaming waveform.  Watermarking is skipped in streaming mode
-    (it operates on complete utterances) — watermark the concatenation.
+    emitted stream is EXACT and O(chunk) per chunk: the codec carries
+    conv/transformer state across chunks (csm_tpu/codec/streaming.py), so
+    each step decodes only the NEW frames — serving-grade for arbitrarily
+    long utterances (the round-1 path re-decoded the growing buffer,
+    O(n²) codec work).  Watermarking is skipped in streaming mode (it
+    operates on complete utterances) — watermark the concatenation.
     """
     from csm_tpu.serving import StreamRequest
 
@@ -272,15 +274,31 @@ def _generator_streaming(
     server.temperature = temperature
     server.submit(StreamRequest(tokens, mask, max_frames=max_frames))
 
+    decoder = self.mimi.stream_decoder()
+
+    def decode_new(frames_buf, start, pad_to=None):
+        """Stream-decode frames_buf[start:], optionally padded to a static
+        chunk length (final remnant only — state is discarded after)."""
+        new = frames_buf[start:]
+        n = new.shape[0]
+        if n == 0:
+            return np.zeros(0, np.float32)
+        if pad_to is not None and n < pad_to:
+            new = np.concatenate(
+                [new, np.zeros((pad_to - n, new.shape[1]), new.dtype)]
+            )
+        audio = decoder.decode_chunk(new.T)
+        return audio[: n * decoder.cfg.samples_per_frame]
+
     spf = int(self.sample_rate / FRAME_RATE)  # 1920 samples per 80 ms frame
-    emitted = 0
+    decoded = 0  # frames already stream-decoded
+    emitted_any = False
     result = None
     finished_at_submit = server.step() if not server.active.any() else []
     if finished_at_submit:
         result = finished_at_submit[0]
         if result.frames.shape[0]:
-            audio = self.mimi.decode(result.frames.T)
-            yield np.asarray(audio[: result.frames.shape[0] * spf], np.float32), True
+            yield decode_new(result.frames, 0), True
             return
     while server.active.any():
         finished = server.step()
@@ -293,14 +311,16 @@ def _generator_streaming(
             if server.slot_frames[0]
             else None
         )
-        if frames is None or frames.shape[0] * spf <= emitted:
+        if frames is None or frames.shape[0] <= decoded:
             continue
-        audio = self.mimi.decode(frames.T)
-        n = frames.shape[0] * spf
-        chunk = np.asarray(audio[emitted:n], np.float32)
-        emitted = n
-        yield chunk, result is not None
-    if result is None or emitted == 0:
+        done = result is not None
+        chunk = decode_new(
+            frames, decoded, pad_to=chunk_frames if done else None
+        )
+        decoded = frames.shape[0]
+        emitted_any = True
+        yield chunk, done
+    if result is None or not emitted_any:
         yield np.zeros(0, np.float32), True
 
 

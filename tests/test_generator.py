@@ -39,6 +39,21 @@ class FakeMimi:
         out[::SPF] = 1.0
         return out
 
+    def stream_decoder(self):
+        """Chunked decode of the impulse train is trivially exact."""
+        fake = self
+
+        class _SD:
+            cfg = type("C", (), {"samples_per_frame": SPF})()
+
+            def decode_chunk(self, codes):
+                return fake.decode(codes)
+
+            def reset(self):
+                pass
+
+        return _SD()
+
 
 @pytest.fixture(scope="module")
 def gen():

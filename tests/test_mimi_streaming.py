@@ -1,0 +1,108 @@
+"""Streaming Mimi decode == full decode, over 30+ s of audio.
+
+The streaming decoder (csm_tpu/codec/streaming.py) carries conv input
+histories, transposed-conv output tails, and a windowed transformer KV
+cache; by linearity + causality the chunked output must equal the
+full-sequence decode bit-for-bit up to float reassociation.  VERDICT.md
+round-1 item #1: done = O(chunk) codec work per chunk and concatenated
+chunks match full decode to <=1e-5-ish over >=30 s.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_decode, mimi_init
+from csm_tpu.codec.streaming import (
+    MimiStreamDecoder,
+    mimi_decode_stream_init,
+    mimi_decode_stream_step,
+)
+
+CFG = CSM_MIMI_CONFIG
+
+
+@pytest.fixture(scope="module")
+def mimi_params():
+    return mimi_init(jax.random.key(7), CFG)
+
+
+@pytest.fixture(scope="module")
+def full_decode():
+    return jax.jit(lambda p, c: mimi_decode(p, c, CFG))
+
+
+def _stream_decode(params, codes, chunks):
+    """Decode (B, K, T) codes in the given frame-chunk sizes."""
+    state = mimi_decode_stream_init(params, codes.shape[0], CFG)
+    step = jax.jit(lambda p, s, c: mimi_decode_stream_step(p, s, c, CFG))
+    out = []
+    t = 0
+    for n in chunks:
+        audio, state = step(params, state, codes[:, :, t : t + n])
+        out.append(np.asarray(audio))
+        t += n
+    assert t == codes.shape[2]
+    return np.concatenate(out, axis=1)
+
+
+def _rel_err(a, b):
+    return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-9))
+
+
+def test_stream_matches_full_30s(mimi_params, full_decode):
+    """30.08 s (376 frames) decoded in 13-frame chunks == full decode."""
+    T = 376  # 30.08 s at 12.5 Hz
+    codes = np.asarray(
+        jax.random.randint(jax.random.key(0), (1, 32, T), 0, CFG.codebook_size),
+        np.int32,
+    )
+    full = np.asarray(full_decode(mimi_params, jnp.asarray(codes)))
+    chunks = [13] * (T // 13) + ([T % 13] if T % 13 else [])
+    stream = _stream_decode(mimi_params, codes, chunks)
+    assert stream.shape == full.shape
+    assert _rel_err(stream, full) < 1e-4
+
+
+def test_stream_matches_full_irregular_chunks(mimi_params, full_decode):
+    """Chunk-size pattern 1/7/2/25/... must not change the waveform."""
+    chunks = [1, 7, 2, 25, 3, 13, 13, 1, 1, 9]
+    T = sum(chunks)
+    codes = np.asarray(
+        jax.random.randint(jax.random.key(1), (2, 32, T), 0, CFG.codebook_size),
+        np.int32,
+    )
+    full = np.asarray(full_decode(mimi_params, jnp.asarray(codes)))
+    stream = _stream_decode(mimi_params, codes, chunks)
+    assert _rel_err(stream, full) < 1e-4
+
+
+def test_stream_crosses_sliding_window(mimi_params, full_decode):
+    """>250 latent frames (the transformer window) so the KV ring wraps."""
+    T = 150  # 300 latent frames at 25 Hz > window 250
+    codes = np.asarray(
+        jax.random.randint(jax.random.key(2), (1, 32, T), 0, CFG.codebook_size),
+        np.int32,
+    )
+    full = np.asarray(full_decode(mimi_params, jnp.asarray(codes)))
+    stream = _stream_decode(mimi_params, codes, [25] * 6)
+    assert _rel_err(stream, full) < 1e-4
+
+
+def test_stream_decoder_wrapper(mimi_params, full_decode):
+    dec = MimiStreamDecoder(mimi_params, CFG)
+    codes = np.asarray(
+        jax.random.randint(jax.random.key(3), (32, 26), 0, CFG.codebook_size),
+        np.int32,
+    )
+    a = np.concatenate(
+        [dec.decode_chunk(codes[:, :13]), dec.decode_chunk(codes[:, 13:])]
+    )
+    full = np.asarray(full_decode(mimi_params, jnp.asarray(codes)[None]))[0]
+    assert a.shape == full.shape
+    assert _rel_err(a, full) < 1e-4
+    # reset() restarts the stream deterministically
+    dec.reset()
+    b = dec.decode_chunk(codes[:, :13])
+    np.testing.assert_array_equal(a[: b.shape[0]], b)
