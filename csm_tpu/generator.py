@@ -60,6 +60,9 @@ class Generator:
             tokenizer (byte-level fallback offline).
         watermarker: optional callable (audio, sr) -> (audio, sr) applied
             to generated audio (reference: src/csm/generator.py:211-217).
+        mesh: optional jax.sharding.Mesh with (data, model) axes — weights
+            go TP over ``model``; generate_batch shards the batch over
+            ``data`` when divisible (csm_tpu/parallel/inference.py).
     """
 
     def __init__(
@@ -70,7 +73,13 @@ class Generator:
         text_tokenizer=None,
         watermarker=None,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from csm_tpu.parallel.inference import shard_inference_params
+
+            params = shard_inference_params(params, mesh)
         self.params = params
         self.args = args or csm_1b_args()
         self.mimi = mimi
@@ -164,14 +173,23 @@ class Generator:
 
         if key is None:
             key = jax.random.key(seed)
+        tokens_d, mask_d, lens_d = (
+            jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(lens)
+        )
+        if self.mesh is not None:
+            from csm_tpu.parallel.inference import shard_batch_dim
+
+            tokens_d = shard_batch_dim(tokens_d, self.mesh)
+            mask_d = shard_batch_dim(mask_d, self.mesh)
+            lens_d = shard_batch_dim(lens_d, self.mesh)
         t_tok = time.time()
         res = generate_audio_tokens_jit(
             self.params,
             self.args,
             key,
-            jnp.asarray(tokens),
-            jnp.asarray(mask),
-            jnp.asarray(lens),
+            tokens_d,
+            mask_d,
+            lens_d,
             max_frames=max_frames,
             temperature=temperature,
             topk=topk,

@@ -17,14 +17,26 @@ Design (TPU-first):
   * finished slots (EOS or frame budget) free immediately and can admit
     a new request at the next frame boundary — continuous batching;
   * every jitted program is shape-static: (n_slots, bucket) prefill and
-    (n_slots, 1) decode, so steady-state serving never recompiles.
+    (n_slots, 1) decode, so steady-state serving never recompiles;
+  * the control plane is ON DEVICE (round-2): per-slot positions, frame
+    budgets, liveness and last-frame feedback live in a device-resident
+    ``SlotState`` carried across chunks — a ``lax.while_loop`` emits up
+    to ``chunk_size`` frames and exits early the moment no slot is live.
+    Per chunk the host does ONE dispatch and ONE gather of
+    (frames, counts, live); per admission, one prefill + one slot write.
+    Cache and slot buffers are donated, so steady-state serving holds a
+    single copy of the KV cache in HBM;
+  * optional ``mesh``: slots shard over the ``data`` axis and weights/KV
+    heads over ``model`` (csm_tpu/parallel/inference.py) — multi-chip
+    serving (BASELINE config 5; the v5e-8 plan in docs/architecture.md
+    is data=8, model=1).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +65,20 @@ class StreamResult:
     n_steps: int
 
 
+class SlotState(NamedTuple):
+    """Device-resident per-slot control state (the serving control plane).
+
+    Carried through every decode chunk; the host mirrors ``live`` lazily
+    (refreshed from each chunk's results) and writes entries only at
+    admission time.
+    """
+
+    last_frame: jnp.ndarray  # (B, K) int32 — fed back as the next token
+    pos: jnp.ndarray  # (B,) int32 — absolute position of the fed token
+    live: jnp.ndarray  # (B,) bool
+    remaining: jnp.ndarray  # (B,) int32 — frames the slot may still emit
+
+
 class BatchedServer:
     """Continuous-batching decode server over ``n_slots`` streams."""
 
@@ -65,64 +91,92 @@ class BatchedServer:
         temperature: float = 0.9,
         topk: int = 50,
         compute_dtype=jnp.bfloat16,
-        chunk_size: int = 1,
+        chunk_size: int = 8,
+        mesh=None,
     ):
-        """``chunk_size`` — decode frames per host round-trip: EOS/admission
+        """``chunk_size`` — max decode frames per host round-trip: admission
         latency granularity trades against per-dispatch overhead (a chunk
-        runs as one ``lax.scan`` inside one jit; 8 ≈ 0.64 s of audio).
+        runs as one ``lax.while_loop`` inside one jit and EXITS EARLY when
+        every slot is dead, so large chunks no longer overshoot EOS or
+        budgets; 8 ≈ 0.64 s of audio).
 
         ``temperature`` is a runtime argument of the compiled programs
-        (mutate ``self.temperature`` freely); ``topk`` is compile-static."""
+        (mutate ``self.temperature`` freely); ``topk`` is compile-static.
+
+        ``mesh`` — optional ``jax.sharding.Mesh`` with (data, model) axes:
+        slots shard over data (n_slots must divide evenly), weights TP
+        over model. None = single device."""
         self.params = params
         self.args = args
+        self.mesh = mesh
         self.n_slots = n_slots
         self.max_seq_len = max_seq_len
         self.temperature = temperature
         self.topk = topk
         self.compute_dtype = compute_dtype
         self.chunk_size = chunk_size
-        K = args.audio_num_codebooks
 
-        self.state = csm.init_frame_state(
-            args, n_slots, compute_dtype, max_seq_len=max_seq_len
+        if mesh is not None:
+            from csm_tpu.parallel.inference import shard_inference_params
+
+            if n_slots % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"n_slots={n_slots} must divide over data axis "
+                    f"{mesh.shape['data']}"
+                )
+            self.params = shard_inference_params(params, mesh)
+
+        self._decode = self._build_decode()
+        self._admit = self._build_admit()
+        self._prefills: Dict[int, Callable] = {}
+        self.reset()
+
+    def _init_device_state(self):
+        K = self.args.audio_num_codebooks
+        state = csm.init_frame_state(
+            self.args, self.n_slots, self.compute_dtype,
+            max_seq_len=self.max_seq_len,
         )
         # per-row cache offsets: each slot's row fills independently and
         # resets on admission — a slot never exhausts the cache as long as
         # prompt_bucket + max_frames <= max_seq_len (enforced in submit)
-        self.state = self.state._replace(
-            offset=jnp.zeros(n_slots, jnp.int32)
+        state = state._replace(offset=jnp.zeros(self.n_slots, jnp.int32))
+        slots = SlotState(
+            last_frame=jnp.zeros((self.n_slots, K), jnp.int32),
+            pos=jnp.zeros(self.n_slots, jnp.int32),
+            live=jnp.zeros(self.n_slots, bool),
+            remaining=jnp.zeros(self.n_slots, jnp.int32),
         )
-        # Per-slot host bookkeeping.
-        self.slot_request: List[Optional[StreamRequest]] = [None] * n_slots
-        self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(n_slots)]
-        self.slot_pos = np.zeros(n_slots, np.int64)  # next absolute position
-        self.slot_budget = np.zeros(n_slots, np.int64)
-        self.active = np.zeros(n_slots, bool)
-        self.last_frame = jnp.zeros((n_slots, K), jnp.int32)
-        self._step_count = 0
-        self._key = jax.random.key(0)
-        # streams that finish during submit() (immediate EOS / budget <= 1)
-        # surface through the next step()/run() drain
-        self._finished_at_submit: List[StreamResult] = []
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        self._decode = self._build_decode()
-        self._prefills: Dict[int, Callable] = {}
+            from csm_tpu.parallel.inference import shard_frame_state
+
+            state = shard_frame_state(state, self.mesh)
+            d = lambda *s: NamedSharding(self.mesh, P(*s))
+            slots = SlotState(
+                last_frame=jax.device_put(slots.last_frame, d("data", None)),
+                pos=jax.device_put(slots.pos, d("data")),
+                live=jax.device_put(slots.live, d("data")),
+                remaining=jax.device_put(slots.remaining, d("data")),
+            )
+        return state, slots
 
     def reset(self, seed: int = 0):
         """Clear all streams/state; compiled programs stay cached."""
-        K = self.args.audio_num_codebooks
-        self.state = csm.init_frame_state(
-            self.args, self.n_slots, self.compute_dtype,
-            max_seq_len=self.max_seq_len,
-        )._replace(offset=jnp.zeros(self.n_slots, jnp.int32))
-        self.slot_request = [None] * self.n_slots
-        self.slot_frames = [[] for _ in range(self.n_slots)]
-        self.slot_pos[:] = 0
-        self.slot_budget[:] = 0
-        self.active[:] = False
-        self.last_frame = jnp.zeros((self.n_slots, K), jnp.int32)
-        self._finished_at_submit = []
-        self._key = jax.random.key(seed)
+        self.state, self.slots = self._init_device_state()
+        # Per-slot host bookkeeping (mirrors of the device control plane).
+        self.slot_request: List[Optional[StreamRequest]] = [None] * self.n_slots
+        self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(self.n_slots)]
+        self.slot_pos = np.zeros(self.n_slots, np.int64)  # prompt length
+        self.slot_budget = np.zeros(self.n_slots, np.int64)
+        self.active = np.zeros(self.n_slots, bool)
+        self._step_count = 0
+        self._base_key = jax.random.key(seed)
+        self._key_epoch = 0
+        # streams that finish during submit() (immediate EOS / budget <= 1)
+        # surface through the next step()/run() drain
+        self._finished_at_submit: List[StreamResult] = []
 
     # ---- compiled programs ----
 
@@ -132,41 +186,85 @@ class BatchedServer:
         n_chunk = self.chunk_size
         step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
 
-        @jax.jit
-        def decode(params, key, state: csm.FrameState, last_frame, pos, active,
-                   temperature):
-            """``n_chunk`` decode steps in one compiled program (lax.scan):
-            the per-dispatch host latency amortizes across the chunk.
-            Rows that hit EOS mid-chunk go dead for the rest of the chunk.
-            Inactive slots run dead tokens at PAD_POS — harmless rows.
+        def decode(params, base_key, step_idx, state: csm.FrameState,
+                   slots: SlotState, temperature):
+            """Up to ``n_chunk`` decode steps in one compiled program — the
+            on-device control plane (VERDICT round-1 item #5):
+
+              * per-slot ``remaining`` budgets decrement on device; a slot
+                that exhausts its budget or hits EOS goes dead immediately
+                (no overshoot frames to discard on host);
+              * the ``lax.while_loop`` exits as soon as NO slot is live —
+                a single stream that EOSes 2 frames into a 16-frame chunk
+                pays for 2 frames, not 16;
+              * the host drains ``counts[s]`` valid frames per slot (live
+                slots emit a prefix of the chunk — they never pause).
+
+            Still-idle-but-allocated slots run dead tokens at PAD_POS
+            (static shapes); their compute is the price of instant
+            admission, measured in BENCHMARKS.md §serving.
             """
+            key = jax.random.fold_in(base_key, step_idx)
+            frames_buf = jnp.zeros((n_chunk, B, K), jnp.int32)
+            counts = jnp.zeros((B,), jnp.int32)
 
-            def step(carry, key_i):
-                state, frame, pos, live = carry
+            def cond(c):
+                t, _, slots = c[0], c[1], c[2]
+                return (t < n_chunk) & jnp.any(slots.live)
+
+            def body(c):
+                t, state, slots, frames_buf, counts = c
+                live = slots.live
                 tokens = (
-                    jnp.zeros((B, 1, K + 1), jnp.int32).at[:, 0, :K].set(frame)
+                    jnp.zeros((B, 1, K + 1), jnp.int32)
+                    .at[:, 0, :K].set(slots.last_frame)
                 )
-                mask = jnp.broadcast_to(step_mask_live[None], (B, 1, K + 1)) & live[
-                    :, None, None
+                mask = jnp.broadcast_to(
+                    step_mask_live[None], (B, 1, K + 1)
+                ) & live[:, None, None]
+                p = jnp.where(live, slots.pos, csm.PAD_POS).astype(jnp.int32)[
+                    :, None
                 ]
-                p = jnp.where(live, pos, csm.PAD_POS).astype(jnp.int32)[:, None]
                 new_frame, state = csm.generate_frame(
-                    params, args, key_i, tokens, mask, p, state,
-                    temperature, self.topk, self.compute_dtype,
+                    params, args, jax.random.fold_in(key, t), tokens, mask, p,
+                    state, temperature, self.topk, self.compute_dtype,
                 )
-                live = live & ~jnp.all(new_frame == 0, axis=1)
-                new_frame = jnp.where(live[:, None], new_frame, 0)
-                return (state, new_frame, pos + 1, live), new_frame
+                emit = live & ~jnp.all(new_frame == 0, axis=1)  # EOS emits 0
+                new_frame = jnp.where(emit[:, None], new_frame, 0)
+                frames_buf = jax.lax.dynamic_update_slice(
+                    frames_buf, new_frame[None], (t, 0, 0)
+                )
+                counts = counts + emit.astype(jnp.int32)
+                rem = slots.remaining - emit.astype(jnp.int32)
+                slots = SlotState(
+                    last_frame=jnp.where(
+                        emit[:, None], new_frame, slots.last_frame
+                    ),
+                    pos=slots.pos + 1,
+                    live=emit & (rem > 0),
+                    remaining=rem,
+                )
+                return t + 1, state, slots, frames_buf, counts
 
-            keys = jax.random.split(key, n_chunk)
-            (state, frame, _, _), frames = jax.lax.scan(
-                step, (state, last_frame, pos, active), keys
+            _, state, slots, frames_buf, counts = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), state, slots, frames_buf, counts)
             )
-            # per-row offsets advance by n_chunk; idle rows write PAD_POS
-            # entries (never attended) and reset at the next admission
-            return frames, frame, state  # frames: (n_chunk, B, K)
+            return frames_buf, counts, slots, state
 
-        return decode
+        # donate cache + slot buffers: steady-state serving holds ONE copy
+        return jax.jit(decode, donate_argnums=(3, 4))
+
+    def _build_admit(self):
+        def admit(slots: SlotState, slot, frame0, pos0, budget):
+            eos = jnp.all(frame0 == 0)
+            return SlotState(
+                last_frame=slots.last_frame.at[slot].set(frame0),
+                pos=slots.pos.at[slot].set(pos0),
+                live=slots.live.at[slot].set(~eos & (budget > 1)),
+                remaining=slots.remaining.at[slot].set(budget - 1),
+            )
+
+        return jax.jit(admit, donate_argnums=(0,))
 
     def _prefill_fn(self, bucket: int):
         """Compiled per-slot prefill: run the prompt for ONE slot and merge
@@ -175,9 +273,8 @@ class BatchedServer:
             return self._prefills[bucket]
         args, K = self.args, self.args.audio_num_codebooks
 
-        @jax.jit
-        def prefill(params, key, state: csm.FrameState, slot, tokens, mask, length,
-                    temperature):
+        def prefill(params, key, state: csm.FrameState, slot, tokens, mask,
+                    length, temperature):
             sub = csm.init_frame_state(
                 args, 1, self.compute_dtype, max_seq_len=state.cache.max_seq_len
             )
@@ -201,10 +298,17 @@ class BatchedServer:
             offset = state.offset.at[slot].set(sub.offset)
             return frame[0], csm.FrameState(KVCache(k, v), offset, kv_pos)
 
-        self._prefills[bucket] = prefill
-        return prefill
+        fn = jax.jit(prefill, donate_argnums=(2,))
+        self._prefills[bucket] = fn
+        return fn
 
     # ---- host-side orchestration ----
+
+    def _next_key(self):
+        # prefill keys live in the upper half of the fold_in domain so they
+        # never collide with decode-chunk indices (step counts)
+        self._key_epoch += 1
+        return jax.random.fold_in(self._base_key, 2**31 + self._key_epoch)
 
     def submit(self, req: StreamRequest) -> Optional[int]:
         """Admit a request into a free slot (prefill now); None if full."""
@@ -216,11 +320,13 @@ class BatchedServer:
         bucket = bucket_length(
             T, tuple(b for b in PROMPT_BUCKETS if b <= self.max_seq_len)
         )
-        if bucket + req.max_frames + self.chunk_size > self.max_seq_len:
+        if bucket + req.max_frames > self.max_seq_len:
+            # device-side budgets stop decode exactly at max_frames, so no
+            # chunk-size slack is needed
             raise ValueError(
                 f"request {req.request_id}: prompt bucket {bucket} + "
-                f"max_frames {req.max_frames} (+chunk {self.chunk_size}) "
-                f"exceeds max_seq_len {self.max_seq_len}"
+                f"max_frames {req.max_frames} exceeds max_seq_len "
+                f"{self.max_seq_len}"
             )
         K = self.args.audio_num_codebooks
         toks = np.zeros((1, bucket, K + 1), np.int32)
@@ -228,12 +334,15 @@ class BatchedServer:
         toks[0, :T] = req.tokens
         msk[0, :T] = req.mask
 
-        self._key, sub = jax.random.split(self._key)
         prefill = self._prefill_fn(bucket)
         frame0, self.state = prefill(
-            self.params, sub, self.state, jnp.int32(slot),
+            self.params, self._next_key(), self.state, jnp.int32(slot),
             jnp.asarray(toks), jnp.asarray(msk), jnp.asarray(T, jnp.int32),
             jnp.float32(self.temperature),
+        )
+        self.slots = self._admit(
+            self.slots, jnp.int32(slot), frame0, jnp.int32(T),
+            jnp.int32(req.max_frames),
         )
 
         self.slot_request[slot] = req
@@ -246,43 +355,33 @@ class BatchedServer:
             self._finished_at_submit.append(self._finish(slot))
         else:
             self.slot_frames[slot].append(f0)
-            self.last_frame = self.last_frame.at[slot].set(frame0)
             if req.max_frames == 1:
                 self._finished_at_submit.append(self._finish(slot))
         return slot
 
     def step(self) -> List[StreamResult]:
-        """Advance every active stream by one chunk of frames; returns
-        finished streams."""
+        """Advance every active stream by up to one chunk of frames; returns
+        finished streams.  EOS and budget exhaustion are detected on device
+        — the host does one dispatch and one gather per chunk."""
         done: List[StreamResult] = self._finished_at_submit
         self._finished_at_submit = []
         if not self.active.any():
             return done
-        self._key, sub = jax.random.split(self._key)
-        # the fed token is frame #(n-1), at absolute position prompt_len+n-1
-        pos = jnp.asarray(
-            self.slot_pos + np.array([len(f) for f in self.slot_frames]) - 1,
-            jnp.int32,
+        self._step_count += 1
+        frames, counts, self.slots, self.state = self._decode(
+            self.params, self._base_key, self._step_count,
+            self.state, self.slots, jnp.float32(self.temperature),
         )
-        frames, last, self.state = self._decode(
-            self.params, sub, self.state, self.last_frame, pos,
-            jnp.asarray(self.active), jnp.float32(self.temperature),
+        # ONE host gather for the whole chunk
+        f_host, counts_h, live_h = jax.device_get(
+            (frames, counts, self.slots.live)
         )
-        self.last_frame = last
-        self._step_count += self.chunk_size
-
-        f_host = np.asarray(frames)  # (chunk, B, K)
         for slot in np.nonzero(self.active)[0]:
             s = int(slot)
-            for t in range(f_host.shape[0]):
-                f = f_host[t, s]
-                if np.all(f == 0):  # EOS (device zeroes post-EOS frames)
-                    done.append(self._finish(s))
-                    break
-                self.slot_frames[s].append(f)
-                if len(self.slot_frames[s]) >= self.slot_budget[s]:
-                    done.append(self._finish(s))
-                    break
+            for t in range(int(counts_h[s])):
+                self.slot_frames[s].append(f_host[t, s])
+            if not live_h[s]:
+                done.append(self._finish(s))
         return done
 
     def _finish(self, slot: int) -> StreamResult:

@@ -103,3 +103,107 @@ print("sharded parity OK", float(m1["loss"]), float(m8["loss"]))
 """
     )
     assert "sharded parity OK" in out
+
+
+@pytest.mark.multichip
+def test_sharded_decode_matches_single_device():
+    """Sharded generate_audio_tokens == single-device (argmax decoding).
+
+    data-only sharding must be EXACT (each row's math is unchanged);
+    tensor-parallel reassociates matmul reductions, so TP asserts a high
+    token-match rate instead.  VERDICT round-1 item #2."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.models.generation import generate_audio_tokens
+from csm_tpu.parallel.inference import shard_batch_dim, shard_inference_params
+from csm_tpu.parallel.mesh import make_mesh
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+rng = np.random.default_rng(0)
+B, S, MF = 8, 16, 6
+tokens = np.zeros((B, S, K + 1), np.int32)
+mask = np.zeros((B, S, K + 1), bool)
+lens = rng.integers(4, S, B).astype(np.int32)
+for b in range(B):
+    tokens[b, :lens[b], -1] = rng.integers(1, args.text_vocab_size, lens[b])
+    mask[b, :lens[b], -1] = True
+
+fn = jax.jit(lambda p, t, m, l: generate_audio_tokens(
+    p, args, jax.random.key(7), t, m, l, max_frames=MF,
+    temperature=1.0, topk=1, compute_dtype=jnp.float32))
+
+ref = fn(params, jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(lens))
+ref_frames, ref_n = np.asarray(ref.frames), np.asarray(ref.num_frames)
+
+for mp, exact in ((1, True), (2, False)):
+    mesh = make_mesh(jax.devices()[:8], model_parallel=mp)
+    sp = shard_inference_params(params, mesh)
+    st = shard_batch_dim(jnp.asarray(tokens), mesh)
+    sm = shard_batch_dim(jnp.asarray(mask), mesh)
+    sl = shard_batch_dim(jnp.asarray(lens), mesh)
+    res = fn(sp, st, sm, sl)
+    frames, n = np.asarray(res.frames), np.asarray(res.num_frames)
+    if exact:
+        np.testing.assert_array_equal(n, ref_n)
+        np.testing.assert_array_equal(frames, ref_frames)
+    else:
+        match = float(np.mean(frames == ref_frames))
+        assert match > 0.9, f"tp token match rate {match}"
+print("sharded decode parity OK")
+"""
+    )
+    assert "sharded decode parity OK" in out
+
+
+@pytest.mark.multichip
+def test_sharded_serving_matches_single_device():
+    """BatchedServer on a data=4 mesh == unsharded server, per stream."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.mesh import make_mesh
+from csm_tpu.serving import BatchedServer, StreamRequest
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+def reqs():
+    rng = np.random.default_rng(3)
+    out = []
+    for rid in range(6):
+        T = 5 + rid
+        tokens = np.zeros((T, K + 1), np.int32)
+        mask = np.zeros((T, K + 1), bool)
+        tokens[:, -1] = rng.integers(1, args.text_vocab_size, T)
+        mask[:, -1] = True
+        out.append(StreamRequest(tokens, mask, max_frames=4, request_id=rid))
+    return out
+srv1 = BatchedServer(params, args, n_slots=4, max_seq_len=128,
+                     temperature=1.0, topk=1, compute_dtype=jnp.float32,
+                     chunk_size=2)
+r1, _ = srv1.run(reqs())
+
+mesh = make_mesh(jax.devices()[:4], model_parallel=1)
+srv8 = BatchedServer(params, args, n_slots=4, max_seq_len=128,
+                     temperature=1.0, topk=1, compute_dtype=jnp.float32,
+                     chunk_size=2, mesh=mesh)
+r8, _ = srv8.run(reqs())
+
+by1 = {r.request_id: r.frames for r in r1}
+by8 = {r.request_id: r.frames for r in r8}
+assert set(by1) == set(by8) == set(range(6))
+for rid in by1:
+    np.testing.assert_array_equal(by1[rid], by8[rid])
+print("sharded serving parity OK")
+"""
+    )
+    assert "sharded serving parity OK" in out
