@@ -48,14 +48,26 @@ def add_tiny_test_flag(parser: argparse.ArgumentParser):
         help="Use a tiny random-weight model + codec (no checkpoints needed; "
         "for smoke testing in offline environments)",
     )
+    parser.add_argument(
+        "--allow-byte-tokenizer",
+        action="store_true",
+        help="Permit the degraded byte-level text tokenizer when the HF "
+        "Llama-3.2 tokenizer is not in the local cache (loud warning; "
+        "real-weight generation will be garbage without the real tokenizer)",
+    )
     return parser
 
 
 def build_generator(args, compute_dtype=None):
     """Construct a Generator from CLI args (full CSM-1B or tiny fixture)."""
+    import os
+
     import jax.numpy as jnp
 
     from csm_tpu.generator import Generator, load_csm_1b
+
+    if getattr(args, "allow_byte_tokenizer", False):
+        os.environ["CSM_TPU_ALLOW_BYTE_TOKENIZER"] = "1"
 
     dtype = compute_dtype or jnp.bfloat16
     if getattr(args, "tiny_test", False):

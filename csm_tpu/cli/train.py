@@ -148,7 +148,13 @@ def build_tokenizers(args, model_args):
     else:
         print("WARNING: no --mimi-path; using random codec weights")
         mimi_params = mimi_init(jax.random.key(1), CSM_MIMI_CONFIG)
-    return load_text_tokenizer(), MimiAudioTokenizer(mimi_params)
+    return (
+        load_text_tokenizer(
+            allow_byte_fallback=getattr(args, "allow_byte_tokenizer", False)
+            or None
+        ),
+        MimiAudioTokenizer(mimi_params),
+    )
 
 
 def main(argv=None) -> int:

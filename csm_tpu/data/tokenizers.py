@@ -56,14 +56,57 @@ class LlamaTokenizer:
         return self._tok.decode(core)
 
 
-def load_text_tokenizer(name: str = "meta-llama/Llama-3.2-1B"):
-    """Llama-3.2 tokenizer if locally cached; ByteTokenizer otherwise."""
+def load_text_tokenizer(
+    name: str = "meta-llama/Llama-3.2-1B",
+    allow_byte_fallback: Optional[bool] = None,
+):
+    """Llama-3.2 tokenizer from the local HF cache.
+
+    If the HF tokenizer is unavailable (cold cache, no egress) the byte
+    fallback is only used when explicitly allowed — feeding a real
+    CSM-1B checkpoint byte-soup token IDs silently would ruin generation
+    quality, so the fallback is opt-in and LOUD:
+
+      * ``allow_byte_fallback=True``, or
+      * env ``CSM_TPU_ALLOW_BYTE_TOKENIZER=1`` (the CLIs'
+        ``--allow-byte-tokenizer`` flag sets this).
+
+    Tiny-test / unit-test paths construct ``ByteTokenizer()`` directly and
+    never hit this gate.
+    """
+    import os
+    import sys
+
     try:
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
         return LlamaTokenizer(tok)
-    except Exception:
+    except Exception as e:
+        if allow_byte_fallback is None:
+            allow_byte_fallback = os.environ.get(
+                "CSM_TPU_ALLOW_BYTE_TOKENIZER", ""
+            ).lower() in ("1", "true", "yes")
+        if not allow_byte_fallback:
+            raise RuntimeError(
+                f"could not load the '{name}' tokenizer from the local HF "
+                f"cache ({type(e).__name__}: {e}). Real checkpoints need the "
+                "real tokenizer — generation with the byte fallback produces "
+                "garbage token IDs. Either pre-populate the HF cache, pass "
+                "--allow-byte-tokenizer (CSM_TPU_ALLOW_BYTE_TOKENIZER=1) to "
+                "opt into the degraded fallback, or pass an explicit "
+                "text_tokenizer."
+            ) from e
+        print(
+            "=" * 70
+            + f"\nWARNING: '{name}' tokenizer unavailable — USING THE BYTE-"
+            "LEVEL\nFALLBACK TOKENIZER. Token IDs will NOT match the Llama-3.2"
+            "\nvocabulary; with real CSM-1B weights the generated speech will"
+            "\nbe garbage. This mode is for offline smoke tests only.\n"
+            + "=" * 70,
+            file=sys.stderr,
+            flush=True,
+        )
         return ByteTokenizer()
 
 

