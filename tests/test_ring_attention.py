@@ -1,0 +1,115 @@
+"""Ring attention (sequence-parallel) correctness on the CPU mesh.
+
+SURVEY.md §5.7 long-context extension: exact causal attention with the
+sequence sharded over a ``seq`` mesh axis (csm_tpu/parallel/ring_attention).
+Single-device ``gqa_attention`` is the oracle; the subprocess CPU mesh is
+the same environment the driver's ``dryrun_multichip`` uses.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cpu8(code: str, timeout: int = 1800) -> str:
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    return proc.stdout
+
+
+@pytest.mark.multichip
+def test_ring_attention_matches_single_device():
+    """S=4096 causal + per-row PAD positions + (data, seq) combo mesh."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.ops.attention import causal_mask_from_positions, gqa_attention
+from csm_tpu.parallel.ring_attention import make_sp_mesh, sharded_ring_attention
+
+def rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+# --- long context: S=4096 over seq=8 ---
+B, S, Hq, Hkv, D = 1, 4096, 4, 2, 64
+q, k, v = rand((B, S, Hq, D), 0), rand((B, S, Hkv, D), 1), rand((B, S, Hkv, D), 2)
+qpos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+kvpos = jnp.arange(S, dtype=jnp.int32)
+ref = gqa_attention(q, k, v, causal_mask_from_positions(qpos, kvpos))
+mesh = make_sp_mesh(jax.devices())
+out = jax.jit(lambda *a: sharded_ring_attention(mesh, *a))(q, k, v, qpos, kvpos)
+np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+print("ring S=4096 OK")
+
+# --- PAD positions, (data=2, seq=4) mesh ---
+B, S = 2, 1024
+PAD = 1 << 28
+q, k, v = rand((B, S, Hq, D), 3), rand((B, S, Hkv, D), 4), rand((B, S, Hkv, D), 5)
+lens = np.array([700, 1024])
+pos = np.where(np.arange(S)[None] < lens[:, None], np.arange(S)[None], PAD)
+pos = jnp.asarray(pos, jnp.int32)
+ref = gqa_attention(q, k, v, causal_mask_from_positions(pos, pos))
+mesh = make_sp_mesh(jax.devices(), seq_parallel=4)
+out = jax.jit(lambda *a: sharded_ring_attention(mesh, *a))(q, k, v, pos, pos)
+rows = np.arange(S)[None] < lens[:, None]
+np.testing.assert_allclose(np.asarray(out)[rows], np.asarray(ref)[rows], atol=3e-5)
+print("ring PAD rows OK")
+"""
+    )
+    assert "ring S=4096 OK" in out and "ring PAD rows OK" in out
+
+
+@pytest.mark.multichip
+def test_ring_attention_gradients():
+    """Reverse-mode through the ring (scan + ppermute) matches XLA autodiff."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.ops.attention import causal_mask_from_positions, gqa_attention
+from csm_tpu.parallel.ring_attention import make_sp_mesh, sharded_ring_attention
+
+def rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+B, S, Hq, Hkv, D = 1, 512, 4, 2, 32
+q, k, v = rand((B, S, Hq, D), 0), rand((B, S, Hkv, D), 1), rand((B, S, Hkv, D), 2)
+qpos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+kvpos = jnp.arange(S, dtype=jnp.int32)
+mesh = make_sp_mesh(jax.devices())  # seq=8 (B=1 can't split a data axis)
+
+def loss_ring(q, k, v):
+    return (sharded_ring_attention(mesh, q, k, v, qpos, kvpos) ** 2).sum()
+
+def loss_ref(q, k, v):
+    m = causal_mask_from_positions(qpos, kvpos)
+    return (gqa_attention(q, k, v, m) ** 2).sum()
+
+g1 = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+for a, b in zip(g1, g2):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+print("ring gradients OK")
+"""
+    )
+    assert "ring gradients OK" in out
