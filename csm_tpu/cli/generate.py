@@ -86,6 +86,13 @@ def main(argv=None) -> int:
     print("Loading model...")
     t0 = time.time()
     generator = build_generator(args)
+    if getattr(args, "tiny_test", False):
+        # the tiny fixture's context is 128 positions; clamp the default
+        # 10 s budget so it leaves room for the prompt (80 ms per frame)
+        limit_ms = (generator.max_seq_len - 64) * 80
+        if args.max_audio_length_ms > limit_ms:
+            print(f"--tiny-test: clamping --max-audio-length-ms to {limit_ms}")
+            args.max_audio_length_ms = limit_ms
     if not args.no_watermark:
         from csm_tpu.watermarking import load_watermarker, watermark
 

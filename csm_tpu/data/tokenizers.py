@@ -140,14 +140,21 @@ class MimiAudioTokenizer:
         self._num_frames = mimi_mod.mimi_num_frames
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
-        """(T,) float waveform → (K, F) int32 codes."""
+        """(T,) float waveform → (K, F) int32 codes.
+
+        Samples pad to 25-frame (2 s) buckets — same policy as ``decode``
+        — so dataset prep compiles one encoder per bucket, not one per
+        utterance length.  The encoder is streaming-causal, so trailing
+        zero-padding cannot change the codes of the real frames.
+        """
         spf = self.cfg.samples_per_frame
         n = len(audio)
-        n_pad = max(1, -(-n // spf)) * spf  # ceil to whole frames
-        buf = np.zeros(n_pad, np.float32)
+        F = max(1, -(-n // spf))  # real (ceil) frame count
+        F_pad = max(25, -(-F // 25) * 25)
+        buf = np.zeros(F_pad * spf, np.float32)
         buf[:n] = audio
         codes = np.asarray(self._encode(self.params, buf[None]))[0]
-        return codes[:, : self._num_frames(n_pad)]
+        return codes[:, :F]
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """(K, F) int codes → (T,) float waveform.

@@ -28,6 +28,7 @@ from csm_tpu.training import lora as lora_mod
 from csm_tpu.training.losses import Batch
 from csm_tpu.training.optimizer import init_train_state, make_lora_optimizer, make_optimizer
 from csm_tpu.training.train_step import make_lora_train_step, make_train_step
+from csm_tpu.utils.observability import hbm_stats
 
 
 @dataclasses.dataclass
@@ -109,6 +110,7 @@ def run_lora_benchmark(
                         step, state, (params,), make_mock_batch(args, B, T), steps
                     )
                     n_lora = lora_mod.count_params(lora)
+                    mem = hbm_stats()
                     results.append({
                         "name": cfg.name,
                         "lora_r": r,
@@ -119,6 +121,7 @@ def run_lora_benchmark(
                         "tokens_per_s": round(B * T / dt, 1),
                         "trainable_params": n_lora,
                         "param_efficiency_pct": round(100 * n_lora / base_count, 4),
+                        **mem,
                     })
     return results
 
@@ -198,6 +201,7 @@ def run_stack_benchmark(
     dt, state = _timed_steps(step, state, (), batch, steps)
     out["train_step_s"] = round(dt, 5)
     out["train_tokens_per_s"] = round(batch_size * seq_len / dt, 1)
+    out.update(hbm_stats())
 
     # generation
     K = args.audio_num_codebooks

@@ -22,6 +22,31 @@ import time
 from typing import Dict, Optional
 
 
+def hbm_stats(device=None) -> Dict[str, float]:
+    """Device memory snapshot in MiB (reference benchmark reports carry a
+    memory column — src/csm/training/benchmark_lora.py:404-440).
+
+    Returns ``{}`` on backends without ``memory_stats`` (CPU).  Keys:
+    ``hbm_in_use_mib``, ``hbm_peak_mib``, ``hbm_limit_mib`` (when exposed).
+    """
+    import jax
+
+    dev = device or jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        return {}
+    out: Dict[str, float] = {}
+    mib = 1024.0 * 1024.0
+    if "bytes_in_use" in stats:
+        out["hbm_in_use_mib"] = round(stats["bytes_in_use"] / mib, 1)
+    if "peak_bytes_in_use" in stats:
+        out["hbm_peak_mib"] = round(stats["peak_bytes_in_use"] / mib, 1)
+    if "bytes_limit" in stats:
+        out["hbm_limit_mib"] = round(stats["bytes_limit"] / mib, 1)
+    return out
+
+
 class MetricsLogger:
     """Append-only JSONL metrics (step, wall time, arbitrary scalars)."""
 

@@ -422,11 +422,19 @@ def check_watermark(ckpt_dir) -> dict:
     if ckpt_dir is not None:
         ok = verify(w, out, out_sr)
         clean = verify(w, audio, sr)
+        # robustness under the distortions real audio picks up
+        # (reference decodes with a phase-shift search for exactly this):
+        resampled = resample(resample(out, out_sr, 16_000), 16_000, out_sr)
+        cropped = out[int(0.37 * out_sr) :]
+        scaled = (out * 0.7).astype(np.float32)
         res.update(
             {
                 "pass": ok and not clean and 25.0 < sdr < 45.0,
                 "verify_watermarked": bool(ok),
                 "verify_clean_audio": bool(clean),
+                "verify_after_resample_16k": bool(verify(w, resampled, out_sr)),
+                "verify_after_crop_0.37s": bool(verify(w, cropped, out_sr)),
+                "verify_after_gain_0.7": bool(verify(w, scaled, out_sr)),
             }
         )
         return res

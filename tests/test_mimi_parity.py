@@ -96,3 +96,29 @@ def test_decode_zero_pad_invariance(models):
     a1 = np.asarray(dec_jit(params, jnp.asarray(codes), cfg))
     a2 = np.asarray(dec_jit(params, jnp.asarray(padded), cfg))
     np.testing.assert_allclose(a2[0, : a1.shape[1]], a1[0], atol=1e-5)
+
+
+def test_encode_bucketing(models):
+    """MimiAudioTokenizer.encode pads to 25-frame buckets: every length in
+    a bucket reuses ONE compiled encoder, and (the encoder being
+    streaming-causal) the trailing zero-pad never changes the real frames'
+    codes vs exact-frame padding."""
+    _, params, cfg = models
+    from csm_tpu.data.tokenizers import MimiAudioTokenizer
+
+    tok = MimiAudioTokenizer(params, cfg=cfg)
+    spf = cfg.samples_per_frame
+    rng = np.random.default_rng(3)
+    lens = [1000, 24000, 25 * spf - 7]  # all inside the first 2 s bucket
+    out = {}
+    for n in lens:
+        audio = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        out[n] = (audio, tok.encode(audio))
+    assert tok._encode._cache_size() == 1, "bucketing must bound compiles"
+    for n, (audio, codes) in out.items():
+        F = -(-n // spf)
+        assert codes.shape[1] == F
+        exact = np.zeros(F * spf, np.float32)
+        exact[:n] = audio
+        ref = np.asarray(enc_jit(params, jnp.asarray(exact)[None], cfg))[0]
+        np.testing.assert_array_equal(codes, ref[:, :F])

@@ -156,6 +156,50 @@ def test_verify_with_bypassed_cnn():
     assert not verify(w, audio, 44_100)
 
 
+def test_decode_recovers_from_crop_via_phase_shift_search():
+    """Robustness mechanics (VERDICT weak #8): real audio gets cropped /
+    re-encoded, shifting the watermark's frame grid by a NON-hop-multiple
+    offset.  The phase-shift grid search must find the aligned shift and
+    the terminator rotation must undo the frame rotation.
+
+    The CNN is bypassed with an absolute-position model of a trained
+    decoder: it emits the true tiling only for the batch row whose total
+    offset (crop + candidate shift) is sample-aligned with the embedding
+    grid, and noise elsewhere — the strictest version of how the trained
+    decoder degrades off-alignment."""
+    w = Watermarker()
+    sym = bytes_to_symbols(CSM_1B_GH_WATERMARK)
+    hop, step = w.hop, 10
+    crop = 3 * hop - 40  # not a hop multiple; aligned at shift s=40
+    rng = np.random.default_rng(6)
+
+    def fake_decode(params, y_shifts):
+        S, L = y_shifts.shape
+        n_frames = w._n_frames(L)
+        rows = []
+        for si in range(S):
+            off = crop + si * step
+            if off % hop == 0:
+                rot = (off // hop) % w.message_len
+                rows.append(
+                    tile_message(sym, w.message_dim, n_frames + rot)[:, rot:]
+                )
+            else:
+                noise = rng.integers(0, w.message_dim, n_frames)
+                rows.append(np.eye(w.message_dim, dtype=np.float32)[noise].T)
+        return jnp.asarray(np.stack(rows))
+
+    w._decode_frames = fake_decode
+    audio = rng.standard_normal(44_100).astype(np.float32)
+    res = w.decode_wav(audio[crop:], 44_100, phase_shift_decoding=True, shift_step=step)
+    assert res["status"] is True
+    assert res["messages"][0] == CSM_1B_GH_WATERMARK
+
+    # without the phase-shift search the cropped signal must NOT decode
+    res0 = w.decode_wav(audio[crop:], 44_100, phase_shift_decoding=False)
+    assert res0["messages"] != [CSM_1B_GH_WATERMARK]
+
+
 def test_watermark_api_resamples():
     w = Watermarker()
     audio = (np.random.default_rng(5).standard_normal(24_000) * 0.1).astype(np.float32)
