@@ -33,14 +33,27 @@ from csm_tpu.parallel.sharding import csm_param_specs
 
 
 def shard_inference_params(params, mesh: Mesh):
-    """Place CSM weights on the mesh with TP sharding (no FSDP)."""
+    """Place CSM weights on the mesh with TP sharding (no FSDP).
+
+    int8-quantized projections ({"w8", "scale"} leaves, csm_tpu/utils/
+    quantize.py) shard like their float originals: w8 takes the weight's
+    spec; the per-out-channel scale (L, 1, out) keeps only the out-dim
+    axis."""
+    from csm_tpu.utils.quantize import is_quantized
+
     specs = csm_param_specs(fsdp=False)
-    return jax.tree.map(
-        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
-        specs,
-        params,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+
+    def put(s, x):
+        if is_quantized(x):
+            return {
+                "w8": jax.device_put(x["w8"], NamedSharding(mesh, s)),
+                "scale": jax.device_put(
+                    x["scale"], NamedSharding(mesh, P(None, None, s[2]))
+                ),
+            }
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, specs, params, is_leaf=lambda x: isinstance(x, P))
 
 
 def frame_state_specs(per_row_offset: bool) -> FrameState:

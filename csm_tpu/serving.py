@@ -47,6 +47,14 @@ from csm_tpu.models.config import ModelArgs
 from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
 from csm_tpu.ops.kvcache import KVCache
 
+# weight_dtype="auto" crossover, measured on v5e (scripts/bench_serving.py
+# --int8 vs bf16; see BENCHMARKS.md).  With the on-device control plane,
+# int8 wins at EVERY measured slot count (1..64) — round-1's "int8 loses
+# at 64 slots" was host-dispatch overhead, not dequant cost — so the
+# threshold sits at the largest measured count.  bf16 stays the DEFAULT
+# until int8 quality is validated against real checkpoints.
+INT8_SLOT_AUTO_THRESHOLD = 64
+
 
 @dataclasses.dataclass
 class StreamRequest:
@@ -93,6 +101,7 @@ class BatchedServer:
         compute_dtype=jnp.bfloat16,
         chunk_size: int = 8,
         mesh=None,
+        weight_dtype: str = "bf16",
     ):
         """``chunk_size`` — max decode frames per host round-trip: admission
         latency granularity trades against per-dispatch overhead (a chunk
@@ -105,7 +114,27 @@ class BatchedServer:
 
         ``mesh`` — optional ``jax.sharding.Mesh`` with (data, model) axes:
         slots shard over data (n_slots must divide evenly), weights TP
-        over model. None = single device."""
+        over model. None = single device.
+
+        ``weight_dtype`` — "bf16" (keep params as passed), "int8"
+        (quantize the transformer projections: csm_tpu/utils/quantize.py),
+        or "auto": int8 iff ``n_slots <= INT8_SLOT_AUTO_THRESHOLD``.
+        Measured on v5e (BENCHMARKS.md): int8 halves weight-read bytes and
+        beats bf16 at every measured slot count (1..64, up to +41%);
+        bf16 remains the conservative default until int8 quality is
+        validated against real checkpoints
+        (scripts/validate_real_weights.py does that when weights are
+        supplied)."""
+        if weight_dtype not in ("bf16", "int8", "auto"):
+            raise ValueError(f"weight_dtype must be bf16|int8|auto, got {weight_dtype!r}")
+        if weight_dtype == "auto":
+            weight_dtype = "int8" if n_slots <= INT8_SLOT_AUTO_THRESHOLD else "bf16"
+        self.weight_dtype = weight_dtype
+        if weight_dtype == "int8":
+            from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
+
+            if not is_quantized(params["backbone"]["wq"]):
+                params = jax.jit(quantize_csm_params)(params)
         self.params = params
         self.args = args
         self.mesh = mesh

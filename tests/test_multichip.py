@@ -204,6 +204,24 @@ assert set(by1) == set(by8) == set(range(6))
 for rid in by1:
     np.testing.assert_array_equal(by1[rid], by8[rid])
 print("sharded serving parity OK")
+
+# int8 weights through the mesh path: quantized {w8, scale} leaves take
+# the same TP specs (csm_tpu/parallel/inference.py); data-only sharding
+# must stay exact
+srv1q = BatchedServer(params, args, n_slots=4, max_seq_len=128,
+                      temperature=1.0, topk=1, compute_dtype=jnp.float32,
+                      chunk_size=2, weight_dtype="int8")
+r1q, _ = srv1q.run(reqs())
+srv8q = BatchedServer(params, args, n_slots=4, max_seq_len=128,
+                      temperature=1.0, topk=1, compute_dtype=jnp.float32,
+                      chunk_size=2, mesh=mesh, weight_dtype="int8")
+r8q, _ = srv8q.run(reqs())
+by1q = {r.request_id: r.frames for r in r1q}
+by8q = {r.request_id: r.frames for r in r8q}
+for rid in by1q:
+    np.testing.assert_array_equal(by1q[rid], by8q[rid])
+print("sharded int8 serving parity OK")
 """
     )
     assert "sharded serving parity OK" in out
+    assert "sharded int8 serving parity OK" in out

@@ -159,6 +159,35 @@ def test_server_with_quantized_params(tiny):
     np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
 
 
+def test_weight_dtype_policy(tiny):
+    """weight_dtype="auto" picks int8 at low slot counts and bf16 above
+    the measured crossover; "int8" quantizes internally and must match a
+    server handed pre-quantized params."""
+    from csm_tpu.serving import INT8_SLOT_AUTO_THRESHOLD
+    from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
+
+    args, params = tiny
+    kw = dict(max_seq_len=96, temperature=1.0, topk=1,
+              compute_dtype=jnp.float32, chunk_size=2)
+    lo = BatchedServer(params, args, n_slots=1, weight_dtype="auto", **kw)
+    assert lo.weight_dtype == "int8"
+    assert is_quantized(lo.params["backbone"]["wq"])
+    hi = BatchedServer(params, args,
+                       n_slots=INT8_SLOT_AUTO_THRESHOLD + 16,
+                       weight_dtype="auto", **kw)
+    assert hi.weight_dtype == "bf16"
+    assert not is_quantized(hi.params["backbone"]["wq"])
+
+    req = make_request(args, 6, rid=0, seed=1, max_frames=4)
+    r_auto, _ = lo.run([req])
+    pre = BatchedServer(quantize_csm_params(params), args, n_slots=1, **kw)
+    r_pre, _ = pre.run([make_request(args, 6, rid=0, seed=1, max_frames=4)])
+    np.testing.assert_array_equal(r_auto[0].frames, r_pre[0].frames)
+
+    with pytest.raises(ValueError):
+        BatchedServer(params, args, n_slots=1, weight_dtype="fp8", **kw)
+
+
 def test_submit_time_finish_is_returned(tiny):
     """A request with max_frames=1 finishes at submit; its result must
     still come back from run()."""
