@@ -151,6 +151,20 @@ def csm_1b_args() -> ModelArgs:
     )
 
 
+def csm_8b_args() -> ModelArgs:
+    """The original Sesame CSM's internal scale: 8B backbone + 300M-class
+    decoder (docs/reference/sesame_csm/components.md:8-10).  Weights don't
+    fit one v5e chip beside KV caches — serve/train with ``model`` TP
+    (docs/architecture.md §serving-scale)."""
+    return ModelArgs(
+        backbone_flavor="llama-8B",
+        decoder_flavor="llama-100M",
+        text_vocab_size=128_256,
+        audio_vocab_size=2051,
+        audio_num_codebooks=32,
+    )
+
+
 def tiny_test_args(
     audio_num_codebooks: int = 4,
     text_vocab_size: int = 128,
