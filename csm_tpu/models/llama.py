@@ -79,6 +79,7 @@ def _layer_forward(
     flash_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     lora_dropout_rate: float = 0.0,
     lora_key: Optional[jax.Array] = None,
+    attn_impl=None,
 ):
     """One transformer block. Returns (h, (k_cache, v_cache)|None).
 
@@ -127,6 +128,8 @@ def _layer_forward(
     k = apply_rope(k, cos, sin)
 
     def attend(q, k, v):
+        if attn_impl is not None:  # e.g. sequence-parallel ring attention
+            return attn_impl(q, k, v)
         if flash_pos is not None:
             from csm_tpu.ops.flash_attention import flash_gqa_attention
 
@@ -165,6 +168,7 @@ def transformer_apply(
     flash_pos: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     lora_dropout_rate: float = 0.0,
     lora_dropout_key: Optional[jax.Array] = None,
+    attn_impl=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the transformer.
 
@@ -187,6 +191,11 @@ def transformer_apply(
             Pallas flash-attention kernel (csm_tpu/ops/flash_attention.py)
             with position-derived masking instead of the materialized
             ``mask`` (long-sequence prefill / training on TPU).
+        attn_impl: optional ``(q, k, v) -> out`` override of the attention
+            op itself — used for sequence-parallel ring attention
+            (csm_tpu/parallel/ring_attention.py), where masking comes from
+            positions closed over by the callable.  Takes precedence over
+            ``flash_pos``/``mask``.
         lora_dropout_rate / lora_dropout_key: adapter-input dropout during
             LoRA training (per-layer, per-projection keys; inactive when
             the key is None — i.e. at eval/inference).
@@ -211,6 +220,7 @@ def transformer_apply(
             h_new, kv = _layer_forward(
                 carry, lp, cfg, cos, sin, mask, (kc, vc), cache_offset,
                 lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
+                attn_impl=attn_impl,
             )
             return h_new, kv
 
@@ -231,6 +241,7 @@ def transformer_apply(
                 carry, lp, cfg, cos, sin, mask, None, None,
                 lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
                 lora_dropout_rate=lora_dropout_rate, lora_key=lk,
+                attn_impl=attn_impl,
             )
             return h_new, None
 

@@ -87,8 +87,15 @@ def compute_loss(
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     lora_dropout: float = 0.0,
+    seq_mesh=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Total training loss + metrics.
+
+    ``seq_mesh`` — optional mesh with a ``seq`` axis: the backbone runs
+    sequence-parallel ring attention (csm_tpu/parallel/ring_attention.py)
+    so context length scales with the axis size (long-context training
+    beyond the reference's 2048 cap; shard the batch's time dim over
+    ``seq``).  The short (32-step) decoder stays local.
 
     total = semantic_weight * CE(codebook-0 over all frames)
           + acoustic_weight * CE(codebooks 1..K-1 over a 1/amortization_ratio
@@ -110,7 +117,15 @@ def compute_loss(
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     h = csm.masked_embed_sum(params, args, batch.tokens, batch.tokens_mask)
     h = h.astype(compute_dtype)
-    if use_flash(T):
+    attn_impl = None
+    if seq_mesh is not None:
+        from csm_tpu.parallel.ring_attention import sharded_ring_attention
+
+        mask, flash_pos = None, None
+        attn_impl = lambda q, k, v: sharded_ring_attention(  # noqa: E731
+            seq_mesh, q, k, v, positions, positions[0]
+        )
+    elif use_flash(T):
         mask, flash_pos = None, (positions, positions[0])
     else:
         mask, flash_pos = causal_mask_from_positions(positions, positions[0]), None
@@ -121,6 +136,7 @@ def compute_loss(
         flash_pos=flash_pos,
         lora_dropout_rate=lora_dropout if drop_on else 0.0,
         lora_dropout_key=k_bb_drop if drop_on else None,
+        attn_impl=attn_impl,
     )  # (B, T, E_b)
 
     # ---- semantic loss: codebook-0 on every frame ----

@@ -34,8 +34,13 @@ def make_train_step(
     amortization_ratio: int = 16,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    seq_mesh=None,
 ) -> Callable:
-    """Returns jitted ``step(state, key, batch) -> (state, metrics)``."""
+    """Returns jitted ``step(state, key, batch) -> (state, metrics)``.
+
+    ``seq_mesh`` — optional mesh with a ``seq`` axis for long-context
+    sequence-parallel training (ring attention in the backbone; shard the
+    batch's time dim over ``seq``)."""
 
     def loss_fn(params, key, batch):
         return compute_loss(
@@ -48,6 +53,7 @@ def make_train_step(
             amortization_ratio=amortization_ratio,
             compute_dtype=compute_dtype,
             remat=remat,
+            seq_mesh=seq_mesh,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -73,6 +79,7 @@ def make_lora_train_step(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     lora_dropout: float = 0.0,
+    seq_mesh=None,
 ) -> Callable:
     """Jitted ``step(lora_state, base_params, key, batch)`` — differentiates
     ONLY the adapter tree; the frozen base rides along un-donated
@@ -92,6 +99,7 @@ def make_lora_train_step(
             lora=lora,
             lora_scale=lora_scale,
             lora_dropout=lora_dropout,
+            seq_mesh=seq_mesh,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -80,6 +80,76 @@ print("ring PAD rows OK")
 
 
 @pytest.mark.multichip
+def test_seq_parallel_train_step_matches_single_device():
+    """Long-context training integration: make_train_step(seq_mesh=...)
+    runs the backbone with ring attention, batch time dim sharded over
+    ``seq`` — same loss and updated params as the single-device step."""
+    out = _run_cpu8(
+        """
+import dataclasses
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.ring_attention import make_sp_mesh
+from csm_tpu.training.losses import Batch
+from csm_tpu.training.optimizer import TrainState, init_train_state, make_optimizer
+from csm_tpu.training.train_step import make_train_step
+
+base = tiny_test_args()
+args = dataclasses.replace(
+    base,
+    backbone_config=dataclasses.replace(base.backbone_config, max_seq_len=512),
+    decoder_config=dataclasses.replace(base.decoder_config, max_seq_len=512),
+)
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(3), args, jnp.float32)
+rng = np.random.default_rng(0)
+B, T = 2, 256
+tokens = np.zeros((B, T, K + 1), np.int32)
+tokens_mask = np.zeros((B, T, K + 1), bool)
+targets = np.zeros((B, T, K), np.int32)
+target_mask = np.zeros((B, T), bool)
+tokens[:, : T // 2, -1] = rng.integers(1, args.text_vocab_size, (B, T // 2))
+tokens_mask[:, : T // 2, -1] = True
+audio = rng.integers(0, args.audio_vocab_size, (B, T - T // 2, K))
+tokens[:, T // 2 :, :K] = audio
+tokens_mask[:, T // 2 :, :K] = True
+targets[:, T // 2 - 1 : T - 1] = audio
+target_mask[:, T // 2 - 1 : T - 1] = True
+batch = Batch(jnp.asarray(tokens), jnp.asarray(tokens_mask),
+              jnp.asarray(targets), jnp.asarray(target_mask))
+
+tx = make_optimizer(params, learning_rate=1e-3)
+
+step1 = make_train_step(args, tx, compute_dtype=jnp.float32)
+state1 = init_train_state(jax.tree.map(jnp.array, params), tx)
+state1, m1 = step1(state1, jax.random.key(7), batch)
+
+mesh = make_sp_mesh(jax.devices(), seq_parallel=4)  # (data=2, seq=4)
+stepS = make_train_step(args, tx, compute_dtype=jnp.float32, seq_mesh=mesh)
+sp = jax.device_put(params, NamedSharding(mesh, P()))
+stateS = TrainState(sp, jax.jit(tx.init)(sp), jnp.zeros((), jnp.int32))
+def put(x, *spec):
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+sbatch = Batch(put(batch.tokens, "data", "seq", None),
+               put(batch.tokens_mask, "data", "seq", None),
+               put(batch.targets, "data", "seq", None),
+               put(batch.target_mask, "data", "seq"))
+stateS, mS = stepS(stateS, jax.random.key(7), sbatch)
+
+np.testing.assert_allclose(float(m1["loss"]), float(mS["loss"]), rtol=2e-4)
+np.testing.assert_allclose(
+    np.asarray(state1.params["backbone"]["wo"]),
+    np.asarray(stateS.params["backbone"]["wo"]), atol=2e-5)
+print("seq-parallel train parity OK", float(m1["loss"]), float(mS["loss"]))
+"""
+    )
+    assert "seq-parallel train parity OK" in out
+
+
+@pytest.mark.multichip
 def test_ring_attention_gradients():
     """Reverse-mode through the ring (scan + ppermute) matches XLA autodiff."""
     out = _run_cpu8(
