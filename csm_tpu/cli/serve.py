@@ -1,0 +1,145 @@
+"""``csm-serve`` — batch/offline serving CLI over the continuous-batching
+server.
+
+Beyond-reference surface (the reference serves one utterance per process;
+its only server is the watermarking demo, src/csm/watermarking/server.py):
+reads a JSONL request file, serves every request through ONE
+``BatchedServer`` (continuous frame-level batching, csm_tpu/serving.py),
+writes one wav per request, prints aggregate stats.
+
+Request lines: {"id": str|int, "text": "...", "speaker": 0,
+                "max_audio_length_ms": 10000, "context": [
+                  {"audio": "path.wav", "text": "...", "speaker": 1}, ...]}
+
+Example:
+    csm-serve --requests reqs.jsonl --output-dir out/ \
+        --model-path ckpt.pt --mimi-path mimi.safetensors \
+        --n-slots 16 --weight-dtype auto
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from csm_tpu.cli.common import add_tiny_test_flag, build_generator
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Serve CSM TTS requests (TPU)")
+    p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--mimi-path", type=str, default=None)
+    p.add_argument("--requests", type=str, required=True,
+                   help="JSONL file of requests ('-' = stdin)")
+    p.add_argument("--output-dir", type=str, default="served")
+    p.add_argument("--n-slots", type=int, default=8,
+                   help="Concurrent decode slots (HBM-bound; 64 fits CSM-1B "
+                        "on a v5e chip)")
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--chunk-size", type=int, default=8,
+                   help="Decode frames per host round-trip")
+    p.add_argument("--weight-dtype", choices=("bf16", "int8", "auto"),
+                   default="bf16",
+                   help="int8 halves weight reads (faster at every measured "
+                        "slot count); bf16 is the quality-conservative default")
+    p.add_argument("--temperature", type=float, default=0.9)
+    p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--no-watermark", action="store_true")
+    p.add_argument("--watermark-ckpt", type=str, default=None)
+    add_tiny_test_flag(p)
+    return p
+
+
+def load_requests(path: str):
+    f = sys.stdin if path == "-" else open(path)
+    reqs = []
+    for line in f:
+        line = line.strip()
+        if line:
+            reqs.append(json.loads(line))
+    if f is not sys.stdin:
+        f.close()
+    return reqs
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from csm_tpu.serving import BatchedServer, StreamRequest
+
+    raw = load_requests(args.requests)
+    if not raw:
+        print("no requests", file=sys.stderr)
+        return 1
+
+    print(f"Loading model... ({len(raw)} requests)")
+    t0 = time.time()
+    generator = build_generator(args)
+    if args.tiny_test:
+        args.max_seq_len = min(args.max_seq_len, generator.max_seq_len)
+    wmark = None
+    if not args.no_watermark:
+        from csm_tpu.watermarking import load_watermarker, watermark
+
+        w = load_watermarker(args.watermark_ckpt)
+        wmark = lambda audio, sr: watermark(w, audio, sr)  # noqa: E731
+    print(f"Model ready in {time.time() - t0:.1f}s")
+
+    from csm_tpu.generator import MS_PER_FRAME, Segment
+
+    def to_stream_request(i, r):
+        ctx = []
+        for c in r.get("context", []):
+            from csm_tpu.data.audio import load_audio
+
+            ctx.append(Segment(
+                speaker=int(c["speaker"]), text=c["text"],
+                audio=load_audio(c["audio"], generator.sample_rate),
+            ))
+        tokens, mask = generator._build_prompt(
+            r["text"], int(r.get("speaker", 0)), ctx
+        )
+        budget_ms = float(r.get("max_audio_length_ms", 10_000))
+        max_frames = max(1, min(
+            int(budget_ms / MS_PER_FRAME),
+            args.max_seq_len - tokens.shape[0] - 1,
+        ))
+        return StreamRequest(tokens, mask, max_frames=max_frames,
+                             request_id=r.get("id", i))
+
+    server = BatchedServer(
+        generator.params, generator.args, n_slots=args.n_slots,
+        max_seq_len=args.max_seq_len, temperature=args.temperature,
+        topk=args.topk, compute_dtype=generator.compute_dtype,
+        chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
+    )
+    requests = [to_stream_request(i, r) for i, r in enumerate(raw)]
+
+    t0 = time.time()
+    results, stats = server.run(requests)
+    wall = time.time() - t0
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    from csm_tpu.data.audio import save_wav
+
+    for res in results:
+        audio = generator.mimi.decode(res.frames.T)
+        if wmark is not None and audio.shape[0]:
+            audio, _ = wmark(audio, generator.sample_rate)
+        out = os.path.join(args.output_dir, f"{res.request_id}.wav")
+        save_wav(out, audio, generator.sample_rate)
+        print(f"  {out}: {res.frames.shape[0]} frames "
+              f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s)")
+
+    print(f"Served {len(results)} requests in {wall:.2f}s: "
+          f"{stats['total_frames']} frames, "
+          f"{stats['frames_per_s']:.1f} frames/s decode, "
+          f"aggregate RTF {stats['aggregate_rtf']:.2f} "
+          f"(weights {server.weight_dtype}, {args.n_slots} slots)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

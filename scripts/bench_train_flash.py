@@ -43,12 +43,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_mode(mode, args, base, lora0, tx, lcfg, B, T, steps):
+def bench_mode(mode, args, base, lora0, tx, lcfg, B, T, steps, remat=False):
     for v in _MODE_VARS:
         os.environ.pop(v, None)
     os.environ.update(MODES[mode])
     # fresh closure per mode: the env gates are read at trace time
-    step = make_lora_train_step(args, tx, lcfg.scaling, compute_dtype=jnp.bfloat16)
+    step = make_lora_train_step(
+        args, tx, lcfg.scaling, compute_dtype=jnp.bfloat16, remat=remat
+    )
     state = init_train_state(jax.tree.map(jnp.array, lora0), tx)
     batch = make_mock_batch(args, B, T)
     key = jax.random.key(0)
@@ -56,7 +58,7 @@ def bench_mode(mode, args, base, lora0, tx, lcfg, B, T, steps):
     lowered = step.lower(state, base, key, batch)
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
-    rec = {"mode": mode, "batch": B, "seq_len": T}
+    rec = {"mode": mode, "batch": B, "seq_len": T, "remat": remat}
     if mem is not None:
         rec["temp_mib"] = round(mem.temp_size_in_bytes / 2**20, 1)
         rec["args_mib"] = round(mem.argument_size_in_bytes / 2**20, 1)
@@ -80,6 +82,8 @@ def main():
     ap.add_argument("--batch-sizes", type=int, nargs="+", default=[2])
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--modes", nargs="+", default=list(MODES), choices=list(MODES))
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize layers on the backward (bigger batch)")
     a = ap.parse_args()
 
     if a.tiny_test:
@@ -104,7 +108,8 @@ def main():
     for B in batches:
         for mode in a.modes:
             try:
-                rec = bench_mode(mode, args, base, lora0, tx, lcfg, B, T, a.steps)
+                rec = bench_mode(mode, args, base, lora0, tx, lcfg, B, T,
+                                 a.steps, remat=a.remat)
             except Exception as e:  # OOM at this batch: report and continue
                 msg = str(e)
                 kind = "oom" if ("memory" in msg.lower() or "exhausted" in msg.lower()) else "error"

@@ -16,6 +16,7 @@ from csm_tpu.cli import (
     finetune_lora as cli_lora,
     finetune_lora_multi as cli_multi,
     generate as cli_generate,
+    serve as cli_serve,
     train as cli_train,
     verify as cli_verify,
 )
@@ -139,6 +140,31 @@ def test_benchmark_lora_cli(tmp_path):
     md = open(out).read()
     assert "LoRA Benchmark Report" in md
     assert os.path.exists(str(tmp_path / "lora_bench.json"))
+
+
+def test_serve_tiny(tmp_path):
+    """csm-serve: JSONL requests in, one wav per request out, through the
+    continuous-batching server (int8 auto policy at this slot count)."""
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        "\n".join(
+            json.dumps(
+                {"id": f"r{i}", "text": f"utterance {i}", "speaker": i % 2,
+                 "max_audio_length_ms": 400}
+            )
+            for i in range(3)
+        )
+    )
+    out = tmp_path / "served"
+    rc = cli_serve.main([
+        "--requests", str(reqs), "--output-dir", str(out),
+        "--n-slots", "2", "--chunk-size", "2", "--weight-dtype", "auto",
+        "--no-watermark", "--tiny-test",
+    ])
+    assert rc == 0
+    for i in range(3):
+        audio, sr = load_wav(str(out / f"r{i}.wav"))
+        assert sr == 24_000 and audio.shape[0] <= 5 * 1920
 
 
 def test_generate_stream_tiny(tmp_path):
