@@ -102,9 +102,25 @@ def main(argv=None) -> int:
             r["text"], int(r.get("speaker", 0)), ctx
         )
         budget_ms = float(r.get("max_audio_length_ms", 10_000))
+        # mirror BatchedServer.submit's check: the ROUNDED-UP prompt bucket
+        # plus the frame budget must fit max_seq_len
+        from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
+
+        try:
+            bucket = bucket_length(
+                tokens.shape[0],
+                tuple(b for b in PROMPT_BUCKETS if b <= args.max_seq_len),
+            )
+        except ValueError:
+            bucket = args.max_seq_len  # prompt exceeds every bucket
+        if bucket + 1 > args.max_seq_len:
+            print(f"  skipping {r.get('id', i)}: prompt ({tokens.shape[0]} "
+                  f"frames, bucket {bucket}) leaves no room in max_seq_len "
+                  f"{args.max_seq_len}", file=sys.stderr)
+            return None
         max_frames = max(1, min(
             int(budget_ms / MS_PER_FRAME),
-            args.max_seq_len - tokens.shape[0] - 1,
+            args.max_seq_len - bucket,
         ))
         return StreamRequest(tokens, mask, max_frames=max_frames,
                              request_id=r.get("id", i))
@@ -115,7 +131,13 @@ def main(argv=None) -> int:
         topk=args.topk, compute_dtype=generator.compute_dtype,
         chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
     )
-    requests = [to_stream_request(i, r) for i, r in enumerate(raw)]
+    requests = [
+        sr for sr in (to_stream_request(i, r) for i, r in enumerate(raw))
+        if sr is not None
+    ]
+    if not requests:
+        print("no servable requests", file=sys.stderr)
+        return 1
 
     t0 = time.time()
     results, stats = server.run(requests)

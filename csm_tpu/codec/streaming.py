@@ -48,8 +48,10 @@ from csm_tpu.codec.transformer import (
 
 # Far enough below any real position that (kpos > qpos - window) is false.
 _EMPTY_POS = -(2**30)
-# 25 Hz positions: 2048 backbone frames at 12.5 Hz → ≤4096 latent frames.
+# RoPE table length. Positions REBASE before reaching it (see
+# _maybe_rebase below), so streaming runs forever with a fixed table.
 _MAX_STREAM_POS = 8192
+_REBASE_AT = _MAX_STREAM_POS // 2
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +144,42 @@ def transformer_stream_init(
     }
 
 
+def _maybe_rebase(state: dict, cfg: MimiTransformerConfig) -> dict:
+    """Shift positions down by ``next - window`` once they near the RoPE
+    table's edge, counter-rotating cached K by the same delta.
+
+    RoPE attention scores and the sliding-window mask depend only on
+    position DIFFERENCES, so a uniform shift is exact; a cached slot is
+    re-rotated at most once within its ``window``-frame lifetime (the
+    rebase threshold is far larger than the window), keeping float error
+    negligible.  This is what lets a stream run forever on a fixed table.
+    """
+    W, D = cfg.sliding_window, cfg.head_dim
+
+    def rebase(st):
+        delta = st["next"] - W
+        inv = 1.0 / (
+            cfg.rope_theta
+            ** (jnp.arange(0, D, 2, dtype=jnp.float32) / jnp.float32(D))
+        )
+        ang = -delta.astype(jnp.float32) * inv  # (D/2,)
+        cos_d = jnp.broadcast_to(jnp.cos(ang)[None], (st["k"].shape[2], D // 2))
+        sin_d = jnp.broadcast_to(jnp.sin(ang)[None], (st["k"].shape[2], D // 2))
+        L, B, W_, H, D_ = st["k"].shape
+        k = _apply_rope(st["k"].reshape(L * B, W_, H, D_), cos_d, sin_d)
+        pos = jnp.where(
+            st["pos"] > _EMPTY_POS // 2, st["pos"] - delta, st["pos"]
+        )
+        return {
+            "k": k.reshape(L, B, W_, H, D_),
+            "v": st["v"],  # V carries no rotation
+            "pos": pos,
+            "next": jnp.full((), W, jnp.int32),
+        }
+
+    return jax.lax.cond(state["next"] >= _REBASE_AT, rebase, lambda s: s, state)
+
+
 def transformer_stream(
     params: dict, cfg: MimiTransformerConfig, state: dict, h: jnp.ndarray
 ) -> Tuple[jnp.ndarray, dict]:
@@ -153,6 +191,7 @@ def transformer_stream(
     """
     B, S, E = h.shape
     H, D, W = cfg.num_heads, cfg.head_dim, cfg.sliding_window
+    state = _maybe_rebase(state, cfg)
     cos_np, sin_np = _rope_tables(D, cfg.rope_theta, _MAX_STREAM_POS)
     positions = state["next"] + jnp.arange(S, dtype=jnp.int32)
     cos = jnp.take(jnp.asarray(cos_np), positions, axis=0)

@@ -318,6 +318,7 @@ def _generator_streaming(
         if result.frames.shape[0]:
             yield decode_new(result.frames, 0), True
             return
+    done_emitted = False
     while server.active.any():
         finished = server.step()
         if finished:
@@ -330,6 +331,8 @@ def _generator_streaming(
             else None
         )
         if frames is None or frames.shape[0] <= decoded:
+            # EOS can land on a step that adds no new frames — the final
+            # done=True is emitted by the guard below, never dropped
             continue
         done = result is not None
         chunk = decode_new(
@@ -337,8 +340,9 @@ def _generator_streaming(
         )
         decoded = frames.shape[0]
         emitted_any = True
+        done_emitted = done_emitted or done
         yield chunk, done
-    if result is None or not emitted_any:
+    if result is None or not emitted_any or not done_emitted:
         yield np.zeros(0, np.float32), True
 
 

@@ -304,7 +304,12 @@ def _dkv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_pallas(q, k, v, q_pos, kv_pos, out, L, g, block_q):
+def _flash_bwd_pallas(q, k, v, q_pos, kv_pos, out, L, g, block_q, g_lse=None):
+    """dq/dk/dv via the Pallas kernels.
+
+    ``g_lse`` — optional (B, Hq, S) cotangent of the log-sum-exp output
+    (flash_gqa_attention_with_lse): since ∂lse_i/∂s_ij = p_ij, it folds
+    into the row term — ds = p·(dP − (D − g_lse))."""
     B, S, Hq, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
     qpk = Hq // Hkv
@@ -319,6 +324,8 @@ def _flash_bwd_pallas(q, k, v, q_pos, kv_pos, out, L, g, block_q):
     vt = _pad_to(v.transpose(0, 2, 1, 3), 2, BK)
     # D row-sums: Σ_d dO·O per (B, S, Hq) — cheap elementwise, done in XLA
     Dr = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if g_lse is not None:  # g_lse is (B, Hq, S); Dr is (B, S, Hq) here
+        Dr = Dr - g_lse.astype(jnp.float32).transpose(0, 2, 1)
     Dr = _pad_to(Dr.transpose(0, 2, 1), 2, BQ)[..., None]  # (B, Hq, S_pad, 1)
     Lp = _pad_to(L, 2, BQ, value=L_EMPTY)[..., None]  # padded rows: p == 0
     kv_pos_p = _pad_to(kv_pos.astype(jnp.int32), 1, BK, value=jnp.int32(1 << 29))
@@ -439,6 +446,38 @@ def _bwd(block_q, res, g):
 
 
 flash_gqa_attention.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def flash_gqa_attention_with_lse(q, k, v, q_pos, kv_pos):
+    """Flash attention that also returns the per-row log-sum-exp.
+
+    For split-softmax consumers (ring attention: csm_tpu/parallel/
+    ring_attention.py) that merge per-chunk partials and therefore need
+    ``lse`` — and need gradients to flow through BOTH outputs.
+
+    Returns (out (B, S, Hq, D) in q.dtype, lse (B, Hq, S) f32 — rows with
+    no attendable keys carry L_EMPTY).  kv_pos must be (B, T).
+    """
+    out, L = _flash_fwd(q, k, v, q_pos, kv_pos, DEFAULT_BLOCK_Q)
+    return out, L
+
+
+def _fwd_lse(q, k, v, q_pos, kv_pos):
+    out, L = _flash_fwd(q, k, v, q_pos, kv_pos, DEFAULT_BLOCK_Q)
+    return (out, L), (q, k, v, q_pos, kv_pos, out, L)
+
+
+def _bwd_lse(res, g):
+    g_out, g_L = g
+    q, k, v, q_pos, kv_pos, out, L = res
+    dq, dk, dv = _flash_bwd_pallas(
+        q, k, v, q_pos, kv_pos, out, L, g_out, DEFAULT_BLOCK_Q, g_lse=g_L
+    )
+    return dq, dk, dv, None, None
+
+
+flash_gqa_attention_with_lse.defvjp(_fwd_lse, _bwd_lse)
 
 
 def flash_available() -> bool:

@@ -80,10 +80,14 @@ def _xla_chunk_attention(q, k, v, q_pos, kv_pos):
 
 
 def _flash_chunk_attention(q, k, v, q_pos, kv_pos):
-    """Pallas-kernel chunk attention normalized to the merge convention."""
-    from csm_tpu.ops.flash_attention import L_EMPTY, _flash_fwd
+    """Pallas-kernel chunk attention normalized to the merge convention.
 
-    out, L = _flash_fwd(q, k, v, q_pos, kv_pos, 256)  # L: (B, Hq, S)
+    Uses the custom-VJP entry point (NOT the raw pallas forward) so the
+    ring differentiates on TPU — the lse cotangent from the log-space
+    merge flows into the kernel backward."""
+    from csm_tpu.ops.flash_attention import L_EMPTY, flash_gqa_attention_with_lse
+
+    out, L = flash_gqa_attention_with_lse(q, k, v, q_pos, kv_pos)
     lse = jnp.transpose(L, (0, 2, 1))  # (B, S, Hq)
     lse = jnp.where(lse > L_EMPTY / 2, _NEG_INF, lse)
     return out.astype(jnp.float32), lse
@@ -110,7 +114,7 @@ def ring_attention(q, k, v, q_pos, kv_pos, *, axis_name: str = SEQ_AXIS):
     n = jax.lax.axis_size(axis_name)
     fwd = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(carry, _):
+    def step(carry, j):
         acc, lse, k_c, v_c, kpos_c = carry
         o_i, lse_i = _chunk_attention(q, k_c, v_c, q_pos, kpos_c.astype(jnp.int32))
         lse_new = jnp.logaddexp(lse, lse_i)
@@ -118,16 +122,21 @@ def ring_attention(q, k, v, q_pos, kv_pos, *, axis_name: str = SEQ_AXIS):
         a_old = jnp.where(jnp.isfinite(lse_new), jnp.exp(lse - lse_new), 0.0)
         a_new = jnp.where(jnp.isfinite(lse_new), jnp.exp(lse_i - lse_new), 0.0)
         acc = acc * a_old[..., None] + o_i * a_new[..., None]
-        k_c = jax.lax.ppermute(k_c, axis_name, fwd)
-        v_c = jax.lax.ppermute(v_c, axis_name, fwd)
-        kpos_c = jax.lax.ppermute(kpos_c, axis_name, fwd)
+
+        def rotate(ops):
+            return tuple(jax.lax.ppermute(x, axis_name, fwd) for x in ops)
+
+        # the last step's rotation would be discarded — skip the ICI traffic
+        k_c, v_c, kpos_c = jax.lax.cond(
+            j < n - 1, rotate, lambda ops: ops, (k_c, v_c, kpos_c)
+        )
         return (acc, lse_new, k_c, v_c, kpos_c), None
 
     B, S, Hq, D = q.shape
     acc0 = jnp.zeros((B, S, Hq, D), jnp.float32)
     lse0 = jnp.full((B, S, Hq), _NEG_INF, jnp.float32)
     (acc, _, _, _, _), _ = jax.lax.scan(
-        step, (acc0, lse0, k, v, kv_pos), None, length=n
+        step, (acc0, lse0, k, v, kv_pos), jnp.arange(n)
     )
     return acc.astype(q.dtype)
 

@@ -503,7 +503,8 @@ def main(argv=None) -> int:
     t0 = time.time()
 
     def run(name, fn, *a, **kw):
-        if name in args_ns.skip:
+        # "--skip csm" covers every csm_* stage (csm_layerwise, csm_frames)
+        if name in args_ns.skip or name.split("_")[0] in args_ns.skip:
             report[name] = {"pass": None, "skipped": True}
             log(f"[skip] {name}")
             return None
@@ -525,8 +526,8 @@ def main(argv=None) -> int:
 
     run("tokenizer", check_tokenizer, args_ns.tokenizer)
 
-    if "csm" not in args_ns.skip or "sampling" not in args_ns.skip \
-            or "int8" not in args_ns.skip:
+    need_csm_params = not {"csm", "sampling", "int8"} <= set(args_ns.skip)
+    if need_csm_params:
         if args_ns.csm_ckpt:
             state = torch.load(args_ns.csm_ckpt, map_location="cpu",
                                weights_only=True)

@@ -145,16 +145,23 @@ def test_benchmark_lora_cli(tmp_path):
 def test_serve_tiny(tmp_path):
     """csm-serve: JSONL requests in, one wav per request out, through the
     continuous-batching server (int8 auto policy at this slot count)."""
-    reqs = tmp_path / "reqs.jsonl"
-    reqs.write_text(
-        "\n".join(
-            json.dumps(
-                {"id": f"r{i}", "text": f"utterance {i}", "speaker": i % 2,
-                 "max_audio_length_ms": 400}
-            )
-            for i in range(3)
+    lines = [
+        json.dumps(
+            {"id": f"r{i}", "text": f"utterance {i}", "speaker": i % 2,
+             "max_audio_length_ms": 400}
         )
-    )
+        for i in range(3)
+    ]
+    # huge budget: must clamp against the ROUNDED-UP prompt bucket, not crash
+    lines.append(json.dumps(
+        {"id": "big", "text": "clamp me", "speaker": 0,
+         "max_audio_length_ms": 100_000}))
+    # prompt bucket leaves no frame room: skipped with a warning, not fatal
+    lines.append(json.dumps(
+        {"id": "huge", "text": "x" * 400, "speaker": 0,
+         "max_audio_length_ms": 400}))
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text("\n".join(lines))
     out = tmp_path / "served"
     rc = cli_serve.main([
         "--requests", str(reqs), "--output-dir", str(out),
@@ -165,6 +172,8 @@ def test_serve_tiny(tmp_path):
     for i in range(3):
         audio, sr = load_wav(str(out / f"r{i}.wav"))
         assert sr == 24_000 and audio.shape[0] <= 5 * 1920
+    assert os.path.exists(str(out / "big.wav"))
+    assert not os.path.exists(str(out / "huge.wav"))
 
 
 def test_generate_stream_tiny(tmp_path):

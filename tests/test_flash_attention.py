@@ -100,6 +100,59 @@ def test_gradient_matches_xla_padded_rows():
     np.testing.assert_array_equal(np.asarray(g1[2])[dead], 0.0)
 
 
+def test_gradient_with_lse_cotangent():
+    """flash_gqa_attention_with_lse must carry gradients through BOTH
+    outputs — the ring-attention log-space merge differentiates through
+    lse (∂lse/∂s = p folds into the kernel's row term).  Oracle: the ring
+    module's XLA chunk attention, which autodiffs plainly."""
+    from csm_tpu.parallel.ring_attention import _xla_chunk_attention
+
+    B, S, Hq, Hkv, D = 1, 256, 4, 2, 64
+    q, k, v = rand((B, S, Hq, D)), rand((B, S, Hkv, D), seed=1), rand((B, S, Hkv, D), seed=2)
+    qpos = jnp.broadcast_to(jnp.arange(S), (B, S)).astype(jnp.int32)
+    kvpos = jnp.broadcast_to(jnp.arange(S), (B, S)).astype(jnp.int32)
+
+    def loss_flash(q, k, v):
+        out, L = fa.flash_gqa_attention_with_lse(q, k, v, qpos, kvpos)
+        # nonlinear in lse so its cotangent is nontrivial
+        return (out**2).sum() + jnp.sin(L).sum()
+
+    def loss_xla(q, k, v):
+        out, lse = _xla_chunk_attention(q, k, v, qpos, kvpos)  # lse (B, S, Hq)
+        return (out.astype(q.dtype) ** 2).sum() + jnp.sin(lse.transpose(0, 2, 1)).sum()
+
+    g1 = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+def test_ring_attention_differentiates_on_tpu():
+    """Regression (review finding): the ring's TPU chunk path must have a
+    VJP — a 1-device seq mesh runs the flash chunk inside shard_map+scan
+    under jax.grad on the real chip."""
+    from csm_tpu.parallel.ring_attention import make_sp_mesh, sharded_ring_attention
+    from csm_tpu.ops.attention import causal_mask_from_positions, gqa_attention
+
+    B, S, Hq, Hkv, D = 1, 256, 4, 2, 64
+    q, k, v = rand((B, S, Hq, D)), rand((B, S, Hkv, D), seed=1), rand((B, S, Hkv, D), seed=2)
+    qpos = jnp.broadcast_to(jnp.arange(S), (B, S)).astype(jnp.int32)
+    kvpos = jnp.arange(S, dtype=jnp.int32)
+    mesh = make_sp_mesh(jax.devices()[:1])
+
+    def loss_ring(q, k, v):
+        return (sharded_ring_attention(mesh, q, k, v, qpos, kvpos) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        m = causal_mask_from_positions(qpos, kvpos)
+        return (gqa_attention(q, k, v, m) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
 def test_generation_prefill_flash_equals_xla(monkeypatch):
     """A 300-token prompt (bucket 512 ⇒ flash prefill) generates the same
     argmax tokens as the XLA path (CSM_TPU_NO_FLASH=1)."""

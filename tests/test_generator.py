@@ -135,6 +135,7 @@ def test_streaming_matches_batch(gen):
         g.generate_streaming("stream me", chunk_frames=2, seed=0, **kwargs)
     )
     assert chunks[-1][1] is True  # final flag
+    assert sum(1 for _, d in chunks if d) == 1  # exactly one done signal
     audio = np.concatenate([c for c, _ in chunks]) if chunks else np.zeros(0)
     np.testing.assert_allclose(audio, full, atol=1e-6)
     # at least two incremental emissions for a 6-frame budget

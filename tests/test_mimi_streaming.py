@@ -90,6 +90,25 @@ def test_stream_crosses_sliding_window(mimi_params, full_decode):
     assert _rel_err(stream, full) < 1e-4
 
 
+def test_stream_position_rebase_is_exact(mimi_params, full_decode, monkeypatch):
+    """Streams must run past the RoPE table without corruption: positions
+    rebase (uniform shift + counter-rotation of cached K) when they near
+    the table edge.  Patch the threshold low (> window) so several
+    rebases happen inside a 150-frame decode; output must still match the
+    full decode exactly."""
+    from csm_tpu.codec import streaming
+
+    monkeypatch.setattr(streaming, "_REBASE_AT", 300)  # window is 250
+    T = 150  # 300 latent frames -> rebase fires repeatedly
+    codes = np.asarray(
+        jax.random.randint(jax.random.key(4), (1, 32, T), 0, CFG.codebook_size),
+        np.int32,
+    )
+    full = np.asarray(full_decode(mimi_params, jnp.asarray(codes)))
+    stream = _stream_decode(mimi_params, codes, [15] * 10)
+    assert _rel_err(stream, full) < 1e-4
+
+
 def test_stream_decoder_wrapper(mimi_params, full_decode):
     dec = MimiStreamDecoder(mimi_params, CFG)
     codes = np.asarray(
