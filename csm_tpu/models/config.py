@@ -139,15 +139,32 @@ class ModelArgs:
         return ModelArgs(**d)
 
 
-def csm_1b_args() -> ModelArgs:
+def csm_1b_args(max_seq_len: int = 2048) -> ModelArgs:
     """The CSM-1B production configuration
-    (reference: src/csm/generator.py:232-238)."""
+    (reference: src/csm/generator.py:232-238).
+
+    ``max_seq_len`` — context length; 2048 matches the reference.  Larger
+    values (4096, 8192) extend the RoPE table and KV caches for
+    long-context inference/training (beyond-reference capability; pair
+    with ring attention over a ``seq`` mesh to scale the attention
+    memory: csm_tpu/parallel/ring_attention.py)."""
+    kw = {}
+    if max_seq_len != 2048:
+        kw = dict(
+            backbone_config=dataclasses.replace(
+                llama3_2_1B(), max_seq_len=max_seq_len
+            ),
+            decoder_config=dataclasses.replace(
+                llama3_2_100M(), max_seq_len=max_seq_len
+            ),
+        )
     return ModelArgs(
         backbone_flavor="llama-1B",
         decoder_flavor="llama-100M",
         text_vocab_size=128_256,
         audio_vocab_size=2051,
         audio_num_codebooks=32,
+        **kw,
     )
 
 

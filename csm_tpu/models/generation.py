@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from csm_tpu.models import csm
 from csm_tpu.models.config import ModelArgs
 
-PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+# callers filter to <= max_seq_len; 4096/8192 serve long-context configs
+# (csm_1b_args(max_seq_len=...), beyond the reference's 2048 cap)
+PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
 def bucket_length(n: int, buckets=PROMPT_BUCKETS) -> int:

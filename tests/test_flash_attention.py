@@ -153,6 +153,47 @@ def test_ring_attention_differentiates_on_tpu():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
 
 
+def test_long_context_generation_4096(monkeypatch):
+    """Beyond the reference's hard 2048 cap (src/csm/generator.py:118): a
+    2500-token prompt in a 4096-position context generates, and the flash
+    prefill produces the same argmax tokens as the XLA path."""
+    from csm_tpu.models.csm import init_csm_params
+    from csm_tpu.models.generation import bucket_length, generate_audio_tokens
+
+    assert bucket_length(2500) == 4096  # the extended bucket ladder
+
+    base = tiny_test_args()
+    args = dataclasses.replace(
+        base,
+        backbone_config=dataclasses.replace(base.backbone_config, max_seq_len=4096),
+        decoder_config=dataclasses.replace(base.decoder_config, max_seq_len=4096),
+    )
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    K = args.audio_num_codebooks
+    rng = np.random.default_rng(11)
+    B, T_real, S_pad = 1, 2500, 4096
+    toks = np.zeros((B, S_pad, K + 1), np.int32)
+    msk = np.zeros((B, S_pad, K + 1), bool)
+    toks[:, :T_real, -1] = rng.integers(1, args.text_vocab_size, (B, T_real))
+    msk[:, :T_real, -1] = True
+    lens = jnp.full((B,), T_real, jnp.int32)
+
+    def gen():
+        return np.asarray(
+            jax.jit(
+                lambda p, k: generate_audio_tokens(
+                    p, args, k, jnp.asarray(toks), jnp.asarray(msk), lens,
+                    max_frames=3, temperature=1.0, topk=1,
+                    compute_dtype=jnp.float32,
+                )
+            )(params, jax.random.key(3)).frames
+        )
+
+    flash_frames = gen()
+    monkeypatch.setenv("CSM_TPU_NO_FLASH", "1")
+    np.testing.assert_array_equal(flash_frames, gen())
+
+
 def test_generation_prefill_flash_equals_xla(monkeypatch):
     """A 300-token prompt (bucket 512 ⇒ flash prefill) generates the same
     argmax tokens as the XLA path (CSM_TPU_NO_FLASH=1)."""
