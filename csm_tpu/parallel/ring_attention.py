@@ -153,15 +153,57 @@ def make_sp_mesh(devices=None, seq_parallel: int | None = None) -> Mesh:
     return Mesh(arr, ("data", SEQ_AXIS))
 
 
-def sharded_ring_attention(mesh: Mesh, q, k, v, q_pos, kv_pos):
+def zigzag_perm(S: int, n: int) -> np.ndarray:
+    """Zigzag sequence layout: device d holds chunks (d, 2n-1-d) of 2n.
+
+    A contiguous causal split gives device 0 the least attention work and
+    device n-1 the most (~2x at large n); pairing an early chunk with its
+    mirror-image late chunk equalizes every device's masked-score count.
+    Masking is position-based throughout this module, so a layout is just
+    a permutation of the sequence dim — the ring math is unchanged.
+
+    Returns perm with ``x[:, perm]`` laid out so an even S/n split puts
+    chunks (d, 2n-1-d) on device d.  S must divide by 2n.
+    """
+    if S % (2 * n):
+        raise ValueError(f"S={S} must divide by 2*seq={2 * n} for zigzag")
+    c = S // (2 * n)
+    chunks = np.arange(S).reshape(2 * n, c)
+    order = []
+    for d in range(n):
+        order.append(chunks[d])
+        order.append(chunks[2 * n - 1 - d])
+    return np.concatenate(order)
+
+
+def sharded_ring_attention(mesh: Mesh, q, k, v, q_pos, kv_pos,
+                           layout: str = "contiguous"):
     """shard_map wrapper: global arrays in, global out, sequence over
     ``seq`` (batch over ``data`` when the mesh has one).
 
     q: (B, S, Hq, D); k/v: (B, T, Hkv, D); q_pos: (B, S); kv_pos: (B, T)
     or (T,).  S and T must divide by the ``seq`` axis size.
+
+    ``layout`` — "contiguous" or "zigzag" (balanced causal work per
+    device; requires S == T and S % (2*seq) == 0).  The permutation is
+    applied at the global level (GSPMD reshards) and undone on the
+    output, so results are identical either way.
     """
     if kv_pos.ndim == 1:
         kv_pos = jnp.broadcast_to(kv_pos[None, :], (q.shape[0], kv_pos.shape[0]))
+    kv_pos = kv_pos.astype(jnp.int32)
+
+    perm = None
+    if layout == "zigzag":
+        S, T = q.shape[1], k.shape[1]
+        if S != T:
+            raise ValueError("zigzag layout requires S == T")
+        perm = jnp.asarray(zigzag_perm(S, mesh.shape[SEQ_AXIS]))
+        q, k, v = q[:, perm], k[:, perm], v[:, perm]
+        q_pos, kv_pos = q_pos[:, perm], kv_pos[:, perm]
+    elif layout != "contiguous":
+        raise ValueError(f"unknown layout {layout!r}")
+
     data = "data" if "data" in mesh.axis_names else None
     qspec = P(data, SEQ_AXIS, None, None)
     pspec = P(data, SEQ_AXIS)
@@ -172,4 +214,8 @@ def sharded_ring_attention(mesh: Mesh, q, k, v, q_pos, kv_pos):
         out_specs=qspec,
         check_vma=False,
     )
-    return f(q, k, v, q_pos, kv_pos.astype(jnp.int32))
+    out = f(q, k, v, q_pos, kv_pos)
+    if perm is not None:
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0]))
+        out = out[:, inv]
+    return out

@@ -74,9 +74,22 @@ out = jax.jit(lambda *a: sharded_ring_attention(mesh, *a))(q, k, v, pos, pos)
 rows = np.arange(S)[None] < lens[:, None]
 np.testing.assert_allclose(np.asarray(out)[rows], np.asarray(ref)[rows], atol=3e-5)
 print("ring PAD rows OK")
+
+# --- zigzag layout: balanced causal work, identical output ---
+B, S = 1, 2048
+q, k, v = rand((B, S, Hq, D), 6), rand((B, S, Hkv, D), 7), rand((B, S, Hkv, D), 8)
+qpos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+kvpos = jnp.arange(S, dtype=jnp.int32)
+ref = gqa_attention(q, k, v, causal_mask_from_positions(qpos, kvpos))
+mesh = make_sp_mesh(jax.devices())
+zz = jax.jit(lambda *a: sharded_ring_attention(mesh, *a, layout="zigzag"))(
+    q, k, v, qpos, kvpos)
+np.testing.assert_allclose(np.asarray(zz), np.asarray(ref), atol=3e-5)
+print("ring zigzag OK")
 """
     )
     assert "ring S=4096 OK" in out and "ring PAD rows OK" in out
+    assert "ring zigzag OK" in out
 
 
 @pytest.mark.multichip
