@@ -9,6 +9,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Benchmark LoRA configs on TPU")
     p.add_argument("--ranks", type=int, nargs="*", default=[4, 8, 16])
     p.add_argument(

@@ -11,6 +11,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Benchmark the CSM TPU stack")
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--seq-len", type=int, default=64)

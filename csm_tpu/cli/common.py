@@ -5,6 +5,27 @@ from __future__ import annotations
 import argparse
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for every CLI: first CSM-1B compile is
+    minutes, cached reruns are seconds.  Honors a user-set
+    JAX_COMPILATION_CACHE_DIR; defaults under the user cache dir."""
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "csm_tpu", "jax_cache",
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except OSError:
+        pass  # read-only home: run uncached
+
+
 # Voice presets — part of the reference's user-facing API
 # (src/csm/cli/generate.py:14-25): named voices mapped to speaker IDs.
 VOICE_PRESETS = {

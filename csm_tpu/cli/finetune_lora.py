@@ -98,6 +98,9 @@ def make_lora_trainer(args):
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     trainer = make_lora_trainer(args)
     text_tok, audio_tok = build_tokenizers(args, trainer.args)

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     speakers = load_speaker_configs(args.speakers_config, args.sample_speakers)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -80,6 +80,9 @@ def load_context(args, generator):
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     speaker = resolve_speaker(args)
 

@@ -66,6 +66,9 @@ def load_requests(path: str):
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     from csm_tpu.serving import BatchedServer, StreamRequest
 

@@ -158,6 +158,9 @@ def build_tokenizers(args, model_args):
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     import jax.numpy as jnp
 

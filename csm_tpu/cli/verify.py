@@ -8,6 +8,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from csm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Check audio for the CSM watermark")
     p.add_argument("audio_path", type=str)
     p.add_argument("--watermark-ckpt", type=str, default=None,
