@@ -88,6 +88,8 @@ def compute_loss(
     lora_scale: float = 0.0,
     lora_dropout: float = 0.0,
     seq_mesh=None,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ) -> Tuple[jnp.ndarray, dict]:
     """Total training loss + metrics.
 
@@ -96,6 +98,12 @@ def compute_loss(
     so context length scales with the axis size (long-context training
     beyond the reference's 2048 cap; shard the batch's time dim over
     ``seq``).  The short (32-step) decoder stays local.
+
+    ``pp_mesh`` — optional mesh with a ``pipe`` axis: the backbone runs
+    pipeline-parallel (csm_tpu/parallel/pipeline.py) with its layer stack
+    sharded over the stages — the 8B-flavor memory lever.  The decoder /
+    embeddings / heads run replicated across stages (they are <5% of the
+    8B FLOPs).  Mutually exclusive with ``seq_mesh``.
 
     total = semantic_weight * CE(codebook-0 over all frames)
           + acoustic_weight * CE(codebooks 1..K-1 over a 1/amortization_ratio
@@ -118,6 +126,30 @@ def compute_loss(
     h = csm.masked_embed_sum(params, args, batch.tokens, batch.tokens_mask)
     h = h.astype(compute_dtype)
     attn_impl = None
+    if pp_mesh is not None:
+        if seq_mesh is not None:
+            raise ValueError("pp_mesh and seq_mesh are mutually exclusive")
+        if drop_on:
+            raise NotImplementedError(
+                "LoRA dropout is not plumbed through the pipeline stages"
+            )
+        from csm_tpu.parallel.pipeline import pipelined_transformer
+
+        h = pipelined_transformer(
+            params["backbone"], bb, h, positions[0], pp_mesh, pp_microbatches,
+            lora=None if lora is None else lora.get("backbone"),
+            lora_scale=lora_scale, remat=remat,
+        )
+        return _loss_from_backbone_out(
+            params, args, key, batch, h,
+            semantic_weight=semantic_weight,
+            acoustic_weight=acoustic_weight,
+            amortization_ratio=amortization_ratio,
+            compute_dtype=compute_dtype, remat=remat,
+            lora=lora, lora_scale=lora_scale,
+            drop_on=drop_on, k_dec_drop=k_dec_drop,
+            lora_dropout=lora_dropout,
+        )
     if seq_mesh is not None:
         from csm_tpu.parallel.ring_attention import sharded_ring_attention
 
@@ -138,6 +170,30 @@ def compute_loss(
         lora_dropout_key=k_bb_drop if drop_on else None,
         attn_impl=attn_impl,
     )  # (B, T, E_b)
+    return _loss_from_backbone_out(
+        params, args, key, batch, h,
+        semantic_weight=semantic_weight,
+        acoustic_weight=acoustic_weight,
+        amortization_ratio=amortization_ratio,
+        compute_dtype=compute_dtype, remat=remat,
+        lora=lora, lora_scale=lora_scale,
+        drop_on=drop_on, k_dec_drop=k_dec_drop,
+        lora_dropout=lora_dropout,
+    )
+
+
+def _loss_from_backbone_out(
+    params, args, key, batch, h, *,
+    semantic_weight, acoustic_weight, amortization_ratio,
+    compute_dtype, remat, lora, lora_scale,
+    drop_on, k_dec_drop, lora_dropout,
+) -> Tuple[jnp.ndarray, dict]:
+    """Semantic CE + amortized acoustic decoder CE, given the backbone's
+    (B, T, E_b) output ``h`` (shared by the local / sequence-parallel /
+    pipeline-parallel backbone paths)."""
+    K = args.audio_num_codebooks
+    dec = args.decoder
+    B, T, _ = batch.tokens.shape
 
     # ---- semantic loss: codebook-0 on every frame ----
     c0_logits = h @ params["codebook0_head"]  # (B, T, V)

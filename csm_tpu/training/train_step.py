@@ -35,12 +35,18 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     seq_mesh=None,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ) -> Callable:
     """Returns jitted ``step(state, key, batch) -> (state, metrics)``.
 
     ``seq_mesh`` — optional mesh with a ``seq`` axis for long-context
     sequence-parallel training (ring attention in the backbone; shard the
-    batch's time dim over ``seq``)."""
+    batch's time dim over ``seq``).
+
+    ``pp_mesh`` — optional mesh with a ``pipe`` axis for pipeline-parallel
+    training (csm_tpu/parallel/pipeline.py; place params with
+    ``shard_params_pp`` and the batch over ``data``)."""
 
     def loss_fn(params, key, batch):
         return compute_loss(
@@ -54,6 +60,8 @@ def make_train_step(
             compute_dtype=compute_dtype,
             remat=remat,
             seq_mesh=seq_mesh,
+            pp_mesh=pp_mesh,
+            pp_microbatches=pp_microbatches,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -80,6 +88,8 @@ def make_lora_train_step(
     remat: bool = False,
     lora_dropout: float = 0.0,
     seq_mesh=None,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ) -> Callable:
     """Jitted ``step(lora_state, base_params, key, batch)`` — differentiates
     ONLY the adapter tree; the frozen base rides along un-donated
@@ -100,6 +110,8 @@ def make_lora_train_step(
             lora_scale=lora_scale,
             lora_dropout=lora_dropout,
             seq_mesh=seq_mesh,
+            pp_mesh=pp_mesh,
+            pp_microbatches=pp_microbatches,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -152,5 +152,8 @@ def test_bucket_length():
     assert bucket_length(64) == 64
     assert bucket_length(65) == 128
     assert bucket_length(2048) == 2048
+    # long-context buckets (csm_1b_args(max_seq_len=) extension)
+    assert bucket_length(2049) == 4096
+    assert bucket_length(8192) == 8192
     with pytest.raises(ValueError):
-        bucket_length(4096)
+        bucket_length(8193)

@@ -1,0 +1,242 @@
+"""Pipeline-parallelism validation (subprocess CPU mesh).
+
+The 8B-flavor memory lever (csm_tpu/parallel/pipeline.py): the backbone's
+layer stack shards over a ``pipe`` mesh axis and microbatches flow through
+the stages via ``lax.ppermute``.  Same hermetic-subprocess strategy as
+tests/test_multichip.py — 8 virtual CPU devices, the environment the
+driver uses for ``dryrun_multichip``.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cpu8(code: str, timeout: int = 1800) -> str:
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    return proc.stdout
+
+
+_COMMON = """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import TransformerConfig
+from csm_tpu.models.llama import transformer_init, transformer_apply
+from csm_tpu.ops.attention import causal_mask_from_positions
+from csm_tpu.parallel.pipeline import (
+    PIPE_AXIS, make_pp_mesh, pipelined_transformer, pp_param_specs,
+    shard_params_pp,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+cfg = TransformerConfig(num_layers=4, num_heads=4, num_kv_heads=2,
+                        embed_dim=64, intermediate_dim=128, max_seq_len=128)
+params = transformer_init(jax.random.key(0), cfg, jnp.float32)
+B, T = 16, 16
+h = jax.random.normal(jax.random.key(1), (B, T, cfg.embed_dim), jnp.float32)
+pos = jnp.arange(T, dtype=jnp.int32)
+mask = causal_mask_from_positions(jnp.broadcast_to(pos, (B, T)), pos)
+
+def place(mesh):
+    return {k: jax.device_put(
+        v, NamedSharding(mesh, P(PIPE_AXIS) if v.ndim and v.shape[0] == cfg.num_layers else P()))
+        for k, v in params.items()}
+"""
+
+
+@pytest.mark.multichip
+def test_pipelined_forward_matches_single_device():
+    """pipe={2,4} x microbatches={1,2,4}: pipelined transformer ==
+    single-device transformer_apply (same weights, same input)."""
+    out = _run_cpu8(
+        _COMMON
+        + """
+ref, _ = transformer_apply(params, cfg, h, jnp.broadcast_to(pos, (B, T)), mask)
+for pp in (2, 4):
+    mesh = make_pp_mesh(jax.devices()[:8], pipeline_parallel=pp)
+    sp = place(mesh)
+    for M in (1, 2, 4):
+        out = jax.jit(lambda p, x: pipelined_transformer(p, cfg, x, pos, mesh, M))(sp, h)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+        print(f"pp={pp} M={M} forward parity OK")
+"""
+    )
+    assert out.count("forward parity OK") == 6
+
+
+@pytest.mark.multichip
+def test_pipelined_grads_match_single_device():
+    """Reverse-mode AD through the pipeline (ppermute transposes to the
+    inverse rotation): param + input grads == single-device autodiff."""
+    out = _run_cpu8(
+        _COMMON
+        + """
+def loss_ref(p, x):
+    y, _ = transformer_apply(p, cfg, x, jnp.broadcast_to(pos, (B, T)), mask)
+    return jnp.mean(y ** 2)
+
+mesh = make_pp_mesh(jax.devices()[:8], pipeline_parallel=4)
+sp = place(mesh)
+
+def loss_pp(p, x):
+    y = pipelined_transformer(p, cfg, x, pos, mesh, 4, remat=True)
+    return jnp.mean(y ** 2)
+
+g_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(params, h)
+g_pp, gx_pp = jax.jit(jax.grad(loss_pp, argnums=(0, 1)))(sp, h)
+for k in g_ref:
+    np.testing.assert_allclose(np.asarray(g_pp[k]), np.asarray(g_ref[k]),
+                               atol=1e-6, rtol=1e-4, err_msg=k)
+np.testing.assert_allclose(np.asarray(gx_pp), np.asarray(gx_ref), atol=1e-6, rtol=1e-4)
+print("pp grad parity OK")
+"""
+    )
+    assert "pp grad parity OK" in out
+
+
+@pytest.mark.multichip
+def test_pp_train_step_matches_single_device():
+    """Full CSM train step (semantic + amortized acoustic loss, AdamW)
+    on a (data=4, pipe=2) mesh: loss and updated params match the
+    single-device step on the same batch and key."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.pipeline import make_pp_mesh, shard_params_pp
+from csm_tpu.parallel.sharding import shard_batch
+from csm_tpu.training.losses import Batch
+from csm_tpu.training.optimizer import TrainState, init_train_state, make_optimizer
+from csm_tpu.training.train_step import make_train_step
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(3), args, jnp.float32)
+rng = np.random.default_rng(0)
+B, T = 8, 8
+tokens = np.zeros((B, T, K + 1), np.int32)
+tokens_mask = np.zeros((B, T, K + 1), bool)
+targets = np.zeros((B, T, K), np.int32)
+target_mask = np.zeros((B, T), bool)
+tokens[:, : T // 2, -1] = rng.integers(1, args.text_vocab_size, (B, T // 2))
+tokens_mask[:, : T // 2, -1] = True
+audio = rng.integers(0, args.audio_vocab_size, (B, T - T // 2, K))
+tokens[:, T // 2 :, :K] = audio
+tokens_mask[:, T // 2 :, :K] = True
+targets[:, T // 2 - 1 : T - 1] = audio
+target_mask[:, T // 2 - 1 : T - 1] = True
+batch = Batch(jnp.asarray(tokens), jnp.asarray(tokens_mask),
+              jnp.asarray(targets), jnp.asarray(target_mask))
+
+tx = make_optimizer(params, learning_rate=1e-3)
+step1 = make_train_step(args, tx, compute_dtype=jnp.float32)
+state1 = init_train_state(jax.tree.map(jnp.array, params), tx)
+state1, m1 = step1(state1, jax.random.key(7), batch)
+
+mesh = make_pp_mesh(jax.devices()[:8], pipeline_parallel=2)
+spp = shard_params_pp(params, mesh)
+opt_state = jax.jit(tx.init)(spp)
+statep = TrainState(spp, opt_state, jnp.zeros((), jnp.int32))
+stepp = make_train_step(args, tx, compute_dtype=jnp.float32,
+                        pp_mesh=mesh, pp_microbatches=2)
+statep, mp = stepp(statep, jax.random.key(7), shard_batch(batch, mesh))
+
+np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]), rtol=2e-4)
+np.testing.assert_allclose(
+    np.asarray(state1.params["backbone"]["wq"]),
+    np.asarray(statep.params["backbone"]["wq"]), atol=2e-5)
+np.testing.assert_allclose(
+    np.asarray(state1.params["decoder"]["wo"]),
+    np.asarray(statep.params["decoder"]["wo"]), atol=2e-5)
+print("pp train parity OK", float(m1["loss"]), float(mp["loss"]))
+"""
+    )
+    assert "pp train parity OK" in out
+
+
+@pytest.mark.multichip
+def test_pp_lora_step_matches_single_device():
+    """LoRA adapters shard over ``pipe`` alongside the base layer stack;
+    the pp LoRA step matches the single-device LoRA step."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.pipeline import make_pp_mesh, shard_lora_pp, shard_params_pp
+from csm_tpu.parallel.sharding import shard_batch
+from csm_tpu.training.losses import Batch
+from csm_tpu.training.lora import LoRAConfig, init_lora_params
+from csm_tpu.training.optimizer import TrainState, make_optimizer
+from csm_tpu.training.train_step import make_lora_train_step
+import optax
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(3), args, jnp.float32)
+lcfg = LoRAConfig(r=4, alpha=8.0)
+lora = init_lora_params(jax.random.key(5), args, lcfg)
+# give B a nonzero value so adapters influence the loss from step one
+lora = jax.tree.map(lambda x: x + 0.01, lora)
+
+rng = np.random.default_rng(0)
+B, T = 8, 8
+tokens = np.zeros((B, T, K + 1), np.int32)
+tokens_mask = np.zeros((B, T, K + 1), bool)
+targets = np.zeros((B, T, K), np.int32)
+target_mask = np.zeros((B, T), bool)
+tokens[:, : T // 2, -1] = rng.integers(1, args.text_vocab_size, (B, T // 2))
+tokens_mask[:, : T // 2, -1] = True
+audio = rng.integers(0, args.audio_vocab_size, (B, T - T // 2, K))
+tokens[:, T // 2 :, :K] = audio
+tokens_mask[:, T // 2 :, :K] = True
+targets[:, T // 2 - 1 : T - 1] = audio
+target_mask[:, T // 2 - 1 : T - 1] = True
+batch = Batch(jnp.asarray(tokens), jnp.asarray(tokens_mask),
+              jnp.asarray(targets), jnp.asarray(target_mask))
+
+tx = optax.adam(1e-3)
+step1 = make_lora_train_step(args, tx, lcfg.scaling, compute_dtype=jnp.float32)
+st1 = TrainState(jax.tree.map(jnp.array, lora), tx.init(lora), jnp.zeros((), jnp.int32))
+st1, m1 = step1(st1, params, jax.random.key(7), batch)
+
+mesh = make_pp_mesh(jax.devices()[:8], pipeline_parallel=2)
+spp = shard_params_pp(params, mesh)
+slora = shard_lora_pp(lora, mesh)
+stp = TrainState(slora, jax.jit(tx.init)(slora), jnp.zeros((), jnp.int32))
+stepp = make_lora_train_step(args, tx, lcfg.scaling, compute_dtype=jnp.float32,
+                             pp_mesh=mesh, pp_microbatches=2)
+stp, mp = stepp(stp, spp, jax.random.key(7), shard_batch(batch, mesh))
+
+np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]), rtol=2e-4)
+np.testing.assert_allclose(
+    np.asarray(st1.params["backbone"]["wq"]["a"]),
+    np.asarray(stp.params["backbone"]["wq"]["a"]), atol=2e-5)
+print("pp lora parity OK", float(m1["loss"]), float(mp["loss"]))
+"""
+    )
+    assert "pp lora parity OK" in out
