@@ -49,8 +49,73 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--no-watermark", action="store_true")
     p.add_argument("--watermark-ckpt", type=str, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="Stream per-request audio while decoding: each "
+                        "request's frames are Mimi-decoded incrementally "
+                        "(carried codec state, O(chunk) per chunk) and its "
+                        "wav is written the moment the request finishes — "
+                        "not after the whole batch.  Reports per-request "
+                        "first-audio latency.  Watermarking is skipped in "
+                        "stream mode (it operates on complete utterances).")
     add_tiny_test_flag(p)
     return p
+
+
+class _StreamSink:
+    """Incremental Mimi decode + wav write for ONE streamed request.
+
+    Registered as the request's ``on_frames`` callback: buffers incoming
+    token frames, stream-decodes fixed ``chunk``-frame blocks through a
+    per-request carried-state decoder (csm_tpu/codec/streaming.py — two
+    compiled shapes total, shared across requests), and writes the wav the
+    moment the request finishes.
+    """
+
+    def __init__(self, rid, decoder, chunk, out_path, sample_rate, t0):
+        self.rid, self.decoder, self.chunk = rid, decoder, max(1, chunk)
+        self.out_path, self.sample_rate, self.t0 = out_path, sample_rate, t0
+        self.frames = []  # buffered (K,) token rows
+        self.decoded = 0
+        self.audio = []
+        self.first_audio_s = None
+        self.done_s = None
+
+    def _decode(self, n, pad_to=None):
+        import numpy as np
+        import time as _t
+
+        block = np.stack(self.frames[self.decoded : self.decoded + n])
+        if pad_to and block.shape[0] < pad_to:  # final remnant only
+            block = np.concatenate(
+                [block, np.zeros((pad_to - block.shape[0], block.shape[1]),
+                                 block.dtype)]
+            )
+        audio = self.decoder.decode_chunk(block.T)
+        self.audio.append(audio[: n * self.decoder.cfg.samples_per_frame])
+        self.decoded += n
+        if self.first_audio_s is None:
+            self.first_audio_s = _t.time() - self.t0
+
+    def __call__(self, rid, new, done):
+        import numpy as np
+        import time as _t
+
+        from csm_tpu.data.audio import save_wav
+
+        self.frames.extend(new)
+        while len(self.frames) - self.decoded >= self.chunk:
+            self._decode(self.chunk)
+        if done:
+            rem = len(self.frames) - self.decoded
+            if rem:
+                self._decode(rem, pad_to=self.chunk)
+            self.done_s = _t.time() - self.t0
+            audio = (
+                np.concatenate(self.audio)
+                if self.audio
+                else np.zeros(0, np.float32)
+            )
+            save_wav(self.out_path, audio, self.sample_rate)
 
 
 def load_requests(path: str):
@@ -142,18 +207,41 @@ def main(argv=None) -> int:
         print("no servable requests", file=sys.stderr)
         return 1
 
+    os.makedirs(args.output_dir, exist_ok=True)
     t0 = time.time()
+    sinks = {}
+    if args.stream:
+        if wmark is not None:
+            print("--stream: skipping watermark (whole-utterance op); "
+                  "watermark the written wavs with csm-verify's encoder "
+                  "if needed", file=sys.stderr)
+            wmark = None
+        for sr_req in requests:
+            out = os.path.join(args.output_dir, f"{sr_req.request_id}.wav")
+            sink = _StreamSink(
+                sr_req.request_id, generator.mimi.stream_decoder(),
+                args.chunk_size, out, generator.sample_rate, t0,
+            )
+            sinks[sr_req.request_id] = sink
+            sr_req.on_frames = sink
+
     results, stats = server.run(requests)
     wall = time.time() - t0
 
-    os.makedirs(args.output_dir, exist_ok=True)
     from csm_tpu.data.audio import save_wav
 
     for res in results:
+        out = os.path.join(args.output_dir, f"{res.request_id}.wav")
+        if args.stream:
+            sink = sinks[res.request_id]
+            print(f"  {out}: {res.frames.shape[0]} frames "
+                  f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s) "
+                  f"first audio +{(sink.first_audio_s or 0) * 1000:.0f} ms, "
+                  f"done +{(sink.done_s or 0):.2f} s")
+            continue
         audio = generator.mimi.decode(res.frames.T)
         if wmark is not None and audio.shape[0]:
             audio, _ = wmark(audio, generator.sample_rate)
-        out = os.path.join(args.output_dir, f"{res.request_id}.wav")
         save_wav(out, audio, generator.sample_rate)
         print(f"  {out}: {res.frames.shape[0]} frames "
               f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s)")

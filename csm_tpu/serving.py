@@ -58,12 +58,21 @@ INT8_SLOT_AUTO_THRESHOLD = 64
 
 @dataclasses.dataclass
 class StreamRequest:
-    """One TTS request (prompt already packed to (T, K+1) frames)."""
+    """One TTS request (prompt already packed to (T, K+1) frames).
+
+    ``on_frames`` — optional streaming callback
+    ``(request_id, new_frames (n, K) int32, done: bool)`` invoked as
+    decode chunks complete (per-request streaming under continuous
+    batching; the single-stream analogue is
+    ``Generator.generate_streaming``).  Called from the serving thread;
+    ``done=True`` fires exactly once, possibly with n=0 frames.
+    """
 
     tokens: np.ndarray  # (T, K+1) int32
     mask: np.ndarray  # (T, K+1) bool
     max_frames: int
     request_id: int = 0
+    on_frames: Optional[Callable[[int, np.ndarray, bool], None]] = None
 
 
 @dataclasses.dataclass
@@ -197,6 +206,7 @@ class BatchedServer:
         # Per-slot host bookkeeping (mirrors of the device control plane).
         self.slot_request: List[Optional[StreamRequest]] = [None] * self.n_slots
         self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(self.n_slots)]
+        self.slot_streamed = np.zeros(self.n_slots, np.int64)  # frames sent to on_frames
         self.slot_pos = np.zeros(self.n_slots, np.int64)  # prompt length
         self.slot_budget = np.zeros(self.n_slots, np.int64)
         self.active = np.zeros(self.n_slots, bool)
@@ -376,6 +386,7 @@ class BatchedServer:
 
         self.slot_request[slot] = req
         self.slot_frames[slot] = []
+        self.slot_streamed[slot] = 0
         self.slot_pos[slot] = T
         self.slot_budget[slot] = req.max_frames
         self.active[slot] = True
@@ -386,6 +397,8 @@ class BatchedServer:
             self.slot_frames[slot].append(f0)
             if req.max_frames == 1:
                 self._finished_at_submit.append(self._finish(slot))
+            else:
+                self._notify(slot, done=False)  # stream the prefill frame
         return slot
 
     def step(self) -> List[StreamResult]:
@@ -411,10 +424,28 @@ class BatchedServer:
                 self.slot_frames[s].append(f_host[t, s])
             if not live_h[s]:
                 done.append(self._finish(s))
+            elif counts_h[s]:
+                self._notify(s, done=False)
         return done
+
+    def _notify(self, slot: int, done: bool) -> None:
+        """Push frames not yet streamed to the request's ``on_frames``."""
+        req = self.slot_request[slot]
+        if req is None or req.on_frames is None:
+            return
+        frames = self.slot_frames[slot]
+        start = int(self.slot_streamed[slot])
+        new = (
+            np.stack(frames[start:])
+            if len(frames) > start
+            else np.zeros((0, self.args.audio_num_codebooks), np.int32)
+        )
+        self.slot_streamed[slot] = len(frames)
+        req.on_frames(req.request_id, new, done)
 
     def _finish(self, slot: int) -> StreamResult:
         req = self.slot_request[slot]
+        self._notify(slot, done=True)
         frames = (
             np.stack(self.slot_frames[slot])
             if self.slot_frames[slot]

@@ -30,3 +30,17 @@ csm-serve \
     --tiny-test
 
 echo "wavs in $OUT/"
+
+# Streaming mode: per-request audio decodes incrementally while the batch
+# is still being served (carried-state Mimi decode), each wav is written
+# the moment its request finishes, and per-request first-audio latency is
+# reported.
+csm-serve \
+    --requests /tmp/requests.jsonl \
+    --output-dir "$OUT-streamed" \
+    --n-slots 2 \
+    --stream \
+    --no-watermark \
+    --tiny-test
+
+echo "streamed wavs in $OUT-streamed/"

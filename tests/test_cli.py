@@ -187,3 +187,29 @@ def test_generate_stream_tiny(tmp_path):
     assert rc == 0
     audio, sr = load_wav(out)
     assert sr == 24_000 and audio.shape[0] <= 5 * 1920
+
+
+def test_serve_stream_matches_batch(tmp_path):
+    """csm-serve --stream: wavs written via per-request incremental Mimi
+    decode (carried codec state) match the non-streamed batch decode."""
+    lines = [
+        json.dumps(
+            {"id": f"s{i}", "text": f"stream utterance {i}", "speaker": i % 2,
+             "max_audio_length_ms": 480}
+        )
+        for i in range(3)
+    ]
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text("\n".join(lines))
+    common = ["--requests", str(reqs), "--n-slots", "2", "--chunk-size", "2",
+              "--no-watermark", "--tiny-test"]
+    out_b = tmp_path / "batch"
+    assert cli_serve.main(common + ["--output-dir", str(out_b)]) == 0
+    out_s = tmp_path / "stream"
+    assert cli_serve.main(common + ["--output-dir", str(out_s), "--stream"]) == 0
+    for i in range(3):
+        a, sr_a = load_wav(str(out_b / f"s{i}.wav"))
+        b, sr_b = load_wav(str(out_s / f"s{i}.wav"))
+        assert sr_a == sr_b == 24_000
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)

@@ -201,3 +201,52 @@ def test_submit_time_finish_is_returned(tiny):
     results, _ = server.run(list(reqs))
     assert {r.request_id for r in results} == {0, 1}
     assert next(r for r in results if r.request_id == 0).frames.shape[0] <= 1
+
+
+def test_streaming_callbacks(tiny):
+    """Per-request ``on_frames`` streaming under continuous batching:
+    streamed chunks concatenate to exactly the final result frames, and
+    done=True fires exactly once per request."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=2, max_seq_len=256,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32, chunk_size=2,
+    )
+    streamed = {}
+    done_count = {}
+
+    def on_frames(rid, new, done):
+        assert new.ndim == 2 and new.shape[1] == args.audio_num_codebooks
+        streamed.setdefault(rid, []).append(new)
+        if done:
+            done_count[rid] = done_count.get(rid, 0) + 1
+
+    reqs = []
+    for i in range(3):  # 3 requests over 2 slots: one admits mid-run
+        r = make_request(args, 5 + i, rid=i, seed=20 + i, max_frames=5)
+        r.on_frames = on_frames
+        reqs.append(r)
+    results, _ = server.run(list(reqs))
+
+    assert done_count == {0: 1, 1: 1, 2: 1}
+    by_id = {r.request_id: r.frames for r in results}
+    for rid, chunks in streamed.items():
+        got = (np.concatenate([c for c in chunks if c.shape[0]])
+               if any(c.shape[0] for c in chunks)
+               else np.zeros((0, args.audio_num_codebooks), np.int32))
+        np.testing.assert_array_equal(got, by_id[rid])
+
+
+def test_streaming_callback_immediate_budget(tiny):
+    """done fires once even for a request finished at submit (budget 1)."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=1, max_seq_len=128,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+    )
+    calls = []
+    r = make_request(args, 6, rid=7, seed=3, max_frames=1)
+    r.on_frames = lambda rid, new, done: calls.append((rid, new.shape[0], done))
+    results, _ = server.run([r])
+    assert [c for c in calls if c[2]] == [(7, 1, True)]
+    assert results[0].frames.shape[0] == 1
