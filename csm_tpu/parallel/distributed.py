@@ -1,0 +1,157 @@
+"""Multi-host / multi-slice runtime: process init, hybrid meshes, data feed.
+
+The reference is single-process, single-device by construction (SURVEY.md
+§2.9 — no torch.distributed anywhere); this module is the TPU-native
+scale-out story on top of the same jitted programs:
+
+  * one JAX process per host, `jax.distributed.initialize()` — on TPU
+    pods the coordinator/process topology comes from the TPU metadata, so
+    a bare `initialize()` works under every standard launcher;
+  * ONE global mesh over `jax.devices()` (all processes see all devices);
+    the same `make_train_step` / `shard_params` / `shard_batch` calls then
+    run multi-host SPMD with zero code changes — GSPMD inserts collectives
+    over ICI within a slice and DCN across slices;
+  * multi-slice meshes keep the DATA axis outermost across slices
+    (`hybrid_mesh`): gradient all-reduce is the only cross-slice traffic,
+    riding DCN once per step, while TP/pipeline traffic stays on ICI —
+    the "How to Scale Your Model" slice-layout recipe;
+  * each process loads only its shard of the global batch
+    (`process_batch_slice`) and assembles the logically-global array with
+    `global_batch_from_local` — no host ever materializes the full batch.
+
+Single-process environments degrade gracefully: `initialize()` is a no-op
+without coordinator info, meshes span the local devices, and the process
+batch slice is the whole batch — so every code path here is exercised by
+the single-host tests and the multi-host behavior differs only by the
+process topology JAX reports.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from csm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Join the multi-host runtime; returns (process_index, process_count).
+
+    On TPU pods all three arguments come from the platform metadata and a
+    bare call suffices.  Elsewhere they can be passed explicitly or via
+    the standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID).  A single-process run (no coordinator info anywhere)
+    skips initialization entirely and reports (0, 1).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is None and env_np:
+        num_processes = int(env_np)
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if process_id is None and env_pid:
+        process_id = int(env_pid)
+    # A pod slice announces its peers; a single-worker attachment (or a
+    # dev box) must NOT initialize — the coordinator would wait forever.
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
+    multi_host = (
+        coordinator_address is not None
+        or (num_processes or 0) > 1
+        or len(workers) > 1
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    )
+    if multi_host:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def hybrid_mesh(
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+    num_slices: Optional[int] = None,
+) -> Mesh:
+    """A (data, model) mesh that keeps DATA outermost across slices.
+
+    Within one slice this is exactly ``make_mesh``.  Across slices
+    (multi-slice TPU, DCN-connected), the data axis is laid out
+    slice-major so the only cross-slice collective is the once-per-step
+    gradient all-reduce; every TP collective stays on ICI.  ``num_slices``
+    defaults to what the platform reports.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    if num_slices is None:
+        slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+        num_slices = len(slice_ids)
+    per_slice = n // num_slices
+    if per_slice % model_parallel:
+        raise ValueError(
+            f"model_parallel={model_parallel} must fit within one slice "
+            f"({per_slice} devices) — TP over DCN would bottleneck every matmul"
+        )
+    if num_slices > 1:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_slice // model_parallel, model_parallel),
+            dcn_mesh_shape=(num_slices, 1),
+            devices=devices,
+        )
+    else:
+        arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def process_batch_slice(global_batch_size: int) -> Tuple[int, int]:
+    """(start, size) of the rows THIS process should load.
+
+    The global batch divides evenly over processes (raise otherwise —
+    uneven host batches silently skew gradient weighting).
+    """
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes"
+        )
+    per = global_batch_size // n
+    return jax.process_index() * per, per
+
+
+def global_batch_from_local(local_batch, mesh: Mesh):
+    """Assemble the logically-global, data-sharded Batch from each
+    process's local rows (csm_tpu/training/losses.Batch in, Batch out).
+
+    Single-process: equivalent to ``shard_batch``.  Multi-host: each
+    process contributes only its ``process_batch_slice`` rows and the
+    result is a global jax.Array addressable by the same train step.
+    """
+    from csm_tpu.parallel.sharding import batch_specs
+    from csm_tpu.training.losses import Batch
+
+    specs = batch_specs()
+    out = {}
+    for k in specs:
+        local = np.asarray(getattr(local_batch, k))
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, specs[k]), local
+        )
+    return Batch(**out)
