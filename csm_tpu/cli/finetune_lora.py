@@ -57,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--resume-from", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    # Parallelism (see docs/architecture.md)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="Tensor-parallel axis size")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style weight sharding over the data axis")
+    p.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="Pipeline stages (exclusive with --model-parallel/--fsdp)")
+    p.add_argument("--pp-microbatches", type=int, default=1)
+    p.add_argument("--distributed", action="store_true",
+                   help="Join a multi-host run (jax.distributed)")
     p.add_argument("--generate-samples", action="store_true")
     p.add_argument("--sample-prompt", type=str, default="Hello from CSM.")
     add_lora_args(p)
@@ -69,8 +79,24 @@ def make_lora_trainer(args):
 
     from csm_tpu.training.trainer import CSMLoRATrainer
 
+    parallel = None
+    if args.distributed:
+        from csm_tpu.parallel.distributed import initialize
+
+        pid, nproc = initialize()
+        print(f"process {pid}/{nproc}")
+    if args.model_parallel > 1 or args.fsdp or args.pipeline_parallel > 1:
+        from csm_tpu.parallel.mesh import ParallelConfig
+
+        parallel = ParallelConfig(
+            model_parallel=args.model_parallel,
+            fsdp=args.fsdp,
+            pipeline_parallel=args.pipeline_parallel,
+            pp_microbatches=args.pp_microbatches,
+        )
     common = dict(
         output_dir=args.output_dir,
+        parallel=parallel,
         learning_rate=args.learning_rate,
         lora_r=args.lora_r,
         lora_alpha=args.lora_alpha,

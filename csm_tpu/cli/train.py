@@ -58,6 +58,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--resume-from", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    # Parallelism (mesh over the attached devices; see docs/architecture.md)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="Tensor-parallel axis size (Megatron-style TP)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style weight sharding over the data axis")
+    p.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="Pipeline stages over a pipe axis (8B memory "
+                        "lever; exclusive with --model-parallel/--fsdp)")
+    p.add_argument("--pp-microbatches", type=int, default=1,
+                   help="Microbatches per step in pipeline mode (bubble "
+                        "fraction = (P-1)/(M+P-1))")
+    p.add_argument("--distributed", action="store_true",
+                   help="Join a multi-host run (jax.distributed; on TPU "
+                        "pods topology is auto-detected)")
     # Samples
     p.add_argument("--generate-samples", action="store_true")
     p.add_argument("--sample-prompt", type=str, default="Hello from CSM.")
@@ -166,6 +180,22 @@ def main(argv=None) -> int:
 
     from csm_tpu.training.trainer import CSMTrainer
 
+    parallel = None
+    if args.distributed:
+        from csm_tpu.parallel.distributed import initialize
+
+        pid, nproc = initialize()
+        print(f"process {pid}/{nproc}")
+    if args.model_parallel > 1 or args.fsdp or args.pipeline_parallel > 1:
+        from csm_tpu.parallel.mesh import ParallelConfig
+
+        parallel = ParallelConfig(
+            model_parallel=args.model_parallel,
+            fsdp=args.fsdp,
+            pipeline_parallel=args.pipeline_parallel,
+            pp_microbatches=args.pp_microbatches,
+        )
+
     if args.tiny_test:
         import jax
 
@@ -185,6 +215,7 @@ def main(argv=None) -> int:
             weight_decay=args.weight_decay,
             compute_dtype=jnp.float32,
             remat=False,
+            parallel=parallel,
         )
     else:
         trainer = CSMTrainer(
@@ -197,6 +228,7 @@ def main(argv=None) -> int:
             semantic_weight=args.semantic_weight,
             acoustic_weight=args.acoustic_weight,
             weight_decay=args.weight_decay,
+            parallel=parallel,
         )
 
     text_tok, audio_tok = build_tokenizers(args, trainer.args)

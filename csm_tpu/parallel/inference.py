@@ -39,19 +39,27 @@ def shard_inference_params(params, mesh: Mesh):
     quantize.py) shard like their float originals: w8 takes the weight's
     spec; the per-out-channel scale (L, 1, out) keeps only the out-dim
     axis."""
+    from csm_tpu.parallel.sharding import fit_spec
     from csm_tpu.utils.quantize import is_quantized
 
     specs = csm_param_specs(fsdp=False)
 
     def put(s, x):
         if is_quantized(x):
+            w_spec = fit_spec(x["w8"].shape, s, mesh)
             return {
-                "w8": jax.device_put(x["w8"], NamedSharding(mesh, s)),
+                "w8": jax.device_put(x["w8"], NamedSharding(mesh, w_spec)),
                 "scale": jax.device_put(
-                    x["scale"], NamedSharding(mesh, P(None, None, s[2]))
+                    x["scale"],
+                    NamedSharding(
+                        mesh,
+                        fit_spec(x["scale"].shape, P(None, None, s[2]), mesh),
+                    ),
                 ),
             }
-        return jax.device_put(x, NamedSharding(mesh, s))
+        return jax.device_put(
+            x, NamedSharding(mesh, fit_spec(x.shape, s, mesh))
+        )
 
     return jax.tree.map(put, specs, params, is_leaf=lambda x: isinstance(x, P))
 
@@ -91,9 +99,12 @@ def device_put_replicated(x, mesh: Mesh):
 
 def per_device_bytes(shapes, specs, mesh: Mesh) -> int:
     """Per-device bytes of a sharded tree: each leaf's bytes divided by the
-    product of the mesh-axis sizes its PartitionSpec names (the exact
-    GSPMD shard size when dims divide; an upper-ish bound otherwise)."""
+    product of the mesh-axis sizes its FITTED PartitionSpec names — dims a
+    mesh axis doesn't divide count as replicated (fit_spec), matching what
+    shard_params/shard_inference_params actually place."""
     import math
+
+    from csm_tpu.parallel.sharding import fit_spec
 
     leaves_shapes = jax.tree.leaves(shapes)
     leaves_specs = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
@@ -101,7 +112,7 @@ def per_device_bytes(shapes, specs, mesh: Mesh) -> int:
     for shp, spec in zip(leaves_shapes, leaves_specs):
         n = math.prod(shp.shape) * shp.dtype.itemsize if shp.shape else shp.dtype.itemsize
         div = 1
-        for axis in spec:
+        for axis in fit_spec(shp.shape, spec, mesh):
             if axis is None:
                 continue
             for a in (axis if isinstance(axis, tuple) else (axis,)):

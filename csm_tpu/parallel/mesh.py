@@ -13,6 +13,7 @@ Axes:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence
 
 import jax
@@ -21,6 +22,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Trainer-level parallelism selection (csm_tpu/training/trainer.py).
+
+    ``model_parallel``/``fsdp`` build a (data, model) mesh (Megatron TP +
+    optional ZeRO-3 layout, csm_tpu/parallel/sharding.py);
+    ``pipeline_parallel`` builds a (data, pipe) mesh instead
+    (csm_tpu/parallel/pipeline.py) — the two mesh layouts are mutually
+    exclusive.  The remaining devices always form the data axis.
+    """
+
+    model_parallel: int = 1
+    fsdp: bool = False
+    pipeline_parallel: int = 1
+    pp_microbatches: int = 1
+
+    @property
+    def enabled(self) -> bool:
+        return self.model_parallel > 1 or self.fsdp or self.pipeline_parallel > 1
+
+    def build_mesh(self, devices=None) -> Mesh:
+        if self.pipeline_parallel > 1:
+            if self.model_parallel > 1 or self.fsdp:
+                raise ValueError(
+                    "pipeline_parallel is mutually exclusive with "
+                    "model_parallel/fsdp (pipe and model mesh layouts differ)"
+                )
+            from csm_tpu.parallel.pipeline import make_pp_mesh
+
+            return make_pp_mesh(devices, pipeline_parallel=self.pipeline_parallel)
+        return make_mesh(devices, model_parallel=self.model_parallel)
 
 
 def make_mesh(

@@ -104,13 +104,27 @@ def pp_param_specs() -> dict:
 
 
 def shard_params_pp(params, mesh: Mesh):
-    """Place a CSM parameter tree onto a (data, pipe) mesh."""
+    """Place a CSM parameter tree onto a (data, pipe) mesh.
+
+    The pipelined layer stacks REQUIRE divisibility (a stage is a layer
+    block); the auxiliary vocab shardings degrade to replication when a
+    dim doesn't divide (e.g. the 2051 audio vocab; fit_spec)."""
+    from csm_tpu.parallel.sharding import fit_spec
+
     specs = pp_param_specs()
-    return jax.tree.map(
-        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
-        specs,
-        params,
-        is_leaf=lambda x: isinstance(x, P),
+
+    def put(path, s, x):
+        comp = path[0].key if path else ""
+        if comp == "backbone" and s and s[0] == PIPE_AXIS:
+            # the pipelined stack: divisibility enforced by
+            # pipelined_transformer, don't silently replicate
+            sp = s
+        else:
+            sp = fit_spec(x.shape, s, mesh)
+        return jax.device_put(x, NamedSharding(mesh, sp))
+
+    return jax.tree_util.tree_map_with_path(
+        put, specs, params, is_leaf=lambda x: isinstance(x, P)
     )
 
 

@@ -74,13 +74,41 @@ def batch_specs() -> dict:
     )._asdict()
 
 
+def fit_spec(shape, spec: P, mesh: Mesh) -> P:
+    """Drop mesh axes from dims they don't evenly divide (that dim is
+    replicated instead; the rest of the spec is kept).
+
+    Real-model necessity, not a convenience: the audio vocab is 2051
+    (reference contract, src/csm/generator.py:236) — indivisible by any
+    mesh axis — so ``codebook0_head`` / ``audio_head`` vocab dims must
+    fall back to replication while every other dim stays sharded.
+    GSPMD still shards the matmul FLOPs via the activation/weight specs
+    that do apply.
+    """
+    import math
+
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None or i >= len(shape):
+            out.append(None)
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        div = math.prod(mesh.shape[a] for a in axes)
+        out.append(axis if shape[i] % div == 0 else None)
+    return P(*out)
+
+
 def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
-    """Place a parameter tree onto the mesh with TP(+FSDP) sharding."""
+    """Place a parameter tree onto the mesh with TP(+FSDP) sharding.
+
+    Dims a mesh axis doesn't divide are replicated (``fit_spec``)."""
     specs = csm_param_specs(fsdp)
     # specs is the first tree so is_leaf sees the PartitionSpec leaves
     # (P is a tuple subclass and would otherwise be flattened).
     return jax.tree.map(
-        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda s, x: jax.device_put(
+            x, NamedSharding(mesh, fit_spec(x.shape, s, mesh))
+        ),
         specs,
         params,
         is_leaf=lambda x: isinstance(x, P),

@@ -79,13 +79,27 @@ class CSMTrainer:
         compute_dtype=jnp.bfloat16,
         remat: bool = True,
         log_file: Optional[str] = None,
+        parallel: Optional["ParallelConfig"] = None,
     ):
+        """``parallel`` — optional csm_tpu.parallel.mesh.ParallelConfig:
+        shard the train state over a device mesh (TP+FSDP on a
+        (data, model) mesh, or pipeline stages on a (data, pipe) mesh)
+        and place every batch over the data axis.  The same jitted step
+        then runs SPMD; batch_size must divide the data axis size."""
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.logger = setup_logger(
             self.__class__.__name__,
             log_file or os.path.join(output_dir, "training.log"),
         )
+        self.parallel = parallel
+        self.mesh = None
+        if parallel is not None and parallel.enabled:
+            self.mesh = parallel.build_mesh()
+            self.logger.info(
+                f"device mesh {dict(self.mesh.shape)} "
+                f"({len(self.mesh.devices.ravel())} devices)"
+            )
         self.learning_rate = learning_rate
         self.lr_multipliers = {
             "backbone": backbone_lr_multiplier,
@@ -145,6 +159,7 @@ class CSMTrainer:
         max_grad_norm: float = 1.0,
         accumulation_steps: int = 1,
     ):
+        self.params = self._place_params(self.params)
         self.tx = make_optimizer(
             self.params,
             learning_rate=self.learning_rate,
@@ -156,7 +171,8 @@ class CSMTrainer:
             freeze_embeddings=freeze_embeddings,
             accumulation_steps=accumulation_steps,
         )
-        self.state = init_train_state(self.params, self.tx)
+        self.state = self._init_state(self.params)
+        pp = self.parallel is not None and self.parallel.pipeline_parallel > 1
         self._step_fn = make_train_step(
             self.args,
             self.tx,
@@ -164,6 +180,8 @@ class CSMTrainer:
             acoustic_weight=self.acoustic_weight,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            pp_mesh=self.mesh if pp else None,
+            pp_microbatches=self.parallel.pp_microbatches if pp else 1,
         )
         self._eval_fn = make_eval_step(
             self.args,
@@ -173,8 +191,42 @@ class CSMTrainer:
         )
         return self.tx
 
+    # ---- mesh placement (no-ops without a ParallelConfig) ----
+
+    def _place_params(self, params):
+        if self.mesh is None:
+            return params
+        if self.parallel.pipeline_parallel > 1:
+            from csm_tpu.parallel.pipeline import shard_params_pp
+
+            return shard_params_pp(params, self.mesh)
+        from csm_tpu.parallel.sharding import shard_params
+
+        return shard_params(params, self.mesh, fsdp=self.parallel.fsdp)
+
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        dp = self.mesh.shape["data"]
+        if batch.tokens.shape[0] % dp:
+            raise ValueError(
+                f"batch size {batch.tokens.shape[0]} not divisible by the "
+                f"data axis ({dp}); pick batch_size as a multiple"
+            )
+        from csm_tpu.parallel.sharding import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def _init_state(self, params) -> TrainState:
+        if self.mesh is None:
+            return init_train_state(params, self.tx)
+        # jitted init propagates the params' shardings into the moments
+        with jax.transfer_guard("allow"):
+            opt_state = jax.jit(self.tx.init)(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
     def _run_step(self, key, batch):
-        self.state, metrics = self._step_fn(self.state, key, batch)
+        self.state, metrics = self._step_fn(self.state, key, self._place_batch(batch))
         return metrics
 
     def _params_for_eval(self):
@@ -265,7 +317,10 @@ class CSMTrainer:
         for i, batch in enumerate(
             as_batches(val_dataset, batch_size, shuffle=False)
         ):
-            m = self._eval_fn(params, jax.random.fold_in(jax.random.key(seed), i), batch)
+            m = self._eval_fn(
+                params, jax.random.fold_in(jax.random.key(seed), i),
+                self._place_batch(batch),
+            )
             losses.append(float(m["loss"]))
         val = float(np.mean(losses)) if losses else float("nan")
         self.logger.info(f"validation loss {val:.4f}")
@@ -370,12 +425,18 @@ class CSMLoRATrainer(CSMTrainer):
     def prepare_optimizer(
         self, max_grad_norm: float = 1.0, accumulation_steps: int = 1, **_ignored
     ):
+        self.params = self._place_params(self.params)
+        pp = self.parallel is not None and self.parallel.pipeline_parallel > 1
+        if pp:
+            from csm_tpu.parallel.pipeline import shard_lora_pp
+
+            self.lora_params = shard_lora_pp(self.lora_params, self.mesh)
         self.tx = make_lora_optimizer(
             learning_rate=self.learning_rate,
             max_grad_norm=max_grad_norm,
             accumulation_steps=accumulation_steps,
         )
-        self.state = init_train_state(self.lora_params, self.tx)
+        self.state = self._init_state(self.lora_params)
         self._lora_step_fn = make_lora_train_step(
             self.args,
             self.tx,
@@ -385,6 +446,8 @@ class CSMLoRATrainer(CSMTrainer):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             lora_dropout=self.lora_config.dropout,
+            pp_mesh=self.mesh if pp else None,
+            pp_microbatches=self.parallel.pp_microbatches if pp else 1,
         )
         self._eval_fn = self._make_lora_eval()
         return self.tx
@@ -395,6 +458,9 @@ class CSMLoRATrainer(CSMTrainer):
         scaling = self.lora_config.scaling
         args = self.args
         sw, aw, cd = self.semantic_weight, self.acoustic_weight, self.compute_dtype
+        pp = self.parallel is not None and self.parallel.pipeline_parallel > 1
+        pp_mesh = self.mesh if pp else None
+        pp_mb = self.parallel.pp_microbatches if pp else 1
 
         @jax.jit
         def eval_step(lora, key, batch):
@@ -402,6 +468,7 @@ class CSMLoRATrainer(CSMTrainer):
                 self.params, args, key, batch,
                 semantic_weight=sw, acoustic_weight=aw, compute_dtype=cd,
                 lora=lora, lora_scale=scaling,
+                pp_mesh=pp_mesh, pp_microbatches=pp_mb,
             )
             return m
 
