@@ -59,24 +59,33 @@ _REBASE_AT = _MAX_STREAM_POS // 2
 # ---------------------------------------------------------------------------
 
 
-def conv_stream_init(batch: int, p: ConvParams, dilation: int = 1, dtype=jnp.float32):
-    """Zero input-history for a stride-1 causal conv: (B, k_eff-1, C_in)."""
+def conv_stream_init(
+    batch: int, p: ConvParams, dilation: int = 1, stride: int = 1,
+    dtype=jnp.float32,
+):
+    """Zero input-history for a causal conv: (B, k_eff - stride, C_in).
+
+    The full path left-pads ``k_eff - stride`` zeros (convs.py
+    causal_conv1d_padding); streaming carries that many trailing INPUTS.
+    Chunk lengths must be multiples of ``stride`` (then the full path's
+    "extra right padding" is zero and outputs align exactly)."""
     k = p.w.shape[0]
     k_eff = (k - 1) * dilation + 1
     c_in = p.w.shape[1]
-    return jnp.zeros((batch, k_eff - 1, c_in), dtype)
+    return jnp.zeros((batch, k_eff - stride, c_in), dtype)
 
 
 def conv_stream(
-    x: jnp.ndarray, p: ConvParams, state: jnp.ndarray, dilation: int = 1
+    x: jnp.ndarray, p: ConvParams, state: jnp.ndarray, dilation: int = 1,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming stride-1 causal conv. x: (B, Tc, C_in) → (B, Tc, C_out)."""
+    """Streaming causal conv. x: (B, Tc, C_in) → (B, Tc/stride, C_out)."""
     hist = state.shape[1]
     xin = jnp.concatenate([state.astype(x.dtype), x], axis=1)
     out = jax.lax.conv_general_dilated(
         xin,
         p.w.astype(x.dtype),
-        window_strides=(1,),
+        window_strides=(stride,),
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -315,9 +324,138 @@ def mimi_decode_stream_step(
     return x[..., 0], new_state
 
 
+# ---------------------------------------------------------------------------
+# full encode path state (the other streaming direction — live audio in)
+# ---------------------------------------------------------------------------
+
+
+def mimi_encode_stream_init(
+    params: dict, batch: int = 1, cfg: MimiConfig = CSM_MIMI_CONFIG
+) -> dict:
+    """Fresh streaming-encoder state.
+
+    Every encoder stage is causal (strided convs included), so carried
+    input histories + the windowed transformer KV make chunked encoding
+    exact — the full-duplex complement of the streaming decoder (the
+    reference's codec docs spec streaming both directions,
+    docs/reference/moshi/model_architecture.md)."""
+    from csm_tpu.codec.seanet import ENCODER_RATIOS
+
+    enc = params["encoder"]
+    blocks = []
+    for blk, stride in zip(enc["blocks"], ENCODER_RATIOS):
+        blocks.append(
+            {
+                "res1": conv_stream_init(batch, blk["res_conv1"]),
+                "res2": conv_stream_init(batch, blk["res_conv2"]),
+                "down": conv_stream_init(batch, blk["down"], stride=stride),
+            }
+        )
+    return {
+        "seanet": {
+            "init": conv_stream_init(batch, enc["init"]),
+            "blocks": blocks,
+            "final": conv_stream_init(batch, enc["final"]),
+        },
+        "transformer": transformer_stream_init(
+            params["encoder_transformer"], cfg.transformer, batch
+        ),
+        "downsample": conv_stream_init(batch, params["downsample"], stride=2),
+    }
+
+
+def mimi_encode_stream_step(
+    params: dict,
+    state: dict,
+    audio: jnp.ndarray,
+    cfg: MimiConfig = CSM_MIMI_CONFIG,
+    num_quantizers=None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Encode one audio chunk, carrying codec state.
+
+    Args:
+        audio: (B, Tc) float 24 kHz samples; Tc must be a multiple of
+            ``cfg.samples_per_frame`` (1920) so every strided stage sees a
+            stride-aligned length.
+    Returns:
+        (codes, new_state): codes (B, K, Tc/1920) — exactly the codes the
+        full encode would emit for these frame positions.
+    """
+    from csm_tpu.codec.rvq import split_rvq_encode
+    from csm_tpu.codec.seanet import ENCODER_RATIOS
+
+    if audio.shape[-1] % cfg.samples_per_frame:
+        raise ValueError(
+            f"stream chunk length {audio.shape[-1]} must be a multiple of "
+            f"{cfg.samples_per_frame}"
+        )
+    enc = params["encoder"]
+    sn = state["seanet"]
+    x = audio[..., None]  # (B, Tc, 1)
+    x, s_init = conv_stream(x, enc["init"], sn["init"])
+    new_blocks = []
+    for blk, bs, stride in zip(enc["blocks"], sn["blocks"], ENCODER_RATIOS):
+        y = jax.nn.elu(x)
+        y, s_r1 = conv_stream(y, blk["res_conv1"], bs["res1"])
+        y = jax.nn.elu(y)
+        y, s_r2 = conv_stream(y, blk["res_conv2"], bs["res2"])
+        x = x + y
+        x = jax.nn.elu(x)
+        x, s_down = conv_stream(x, blk["down"], bs["down"], stride=stride)
+        new_blocks.append({"res1": s_r1, "res2": s_r2, "down": s_down})
+    x = jax.nn.elu(x)
+    x, s_final = conv_stream(x, enc["final"], sn["final"])  # (B, 2*Tf, 512)
+
+    x, tr_state = transformer_stream(
+        params["encoder_transformer"], cfg.transformer, state["transformer"], x
+    )
+    x, ds_state = conv_stream(
+        x, params["downsample"], state["downsample"], stride=2
+    )  # (B, Tf, 512)
+    codes = split_rvq_encode(params["quantizer"], x, num_quantizers)
+
+    new_state = {
+        "seanet": {"init": s_init, "blocks": new_blocks, "final": s_final},
+        "transformer": tr_state,
+        "downsample": ds_state,
+    }
+    return codes, new_state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _decode_step_jit(params, state, codes, cfg):
     return mimi_decode_stream_step(params, state, codes, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_quantizers"))
+def _encode_step_jit(params, state, audio, cfg, num_quantizers):
+    return mimi_encode_stream_step(params, state, audio, cfg, num_quantizers)
+
+
+class MimiStreamEncoder:
+    """Host-side convenience wrapper: feed (Tc,) audio chunks, get codes.
+
+    The encode-side mirror of MimiStreamDecoder — one compiled program per
+    distinct chunk length."""
+
+    def __init__(self, params, cfg: MimiConfig = CSM_MIMI_CONFIG,
+                 batch: int = 1, num_quantizers=None):
+        self.params = params
+        self.cfg = cfg
+        self.batch = batch
+        self.num_quantizers = num_quantizers
+        self.state = mimi_encode_stream_init(params, batch, cfg)
+
+    def reset(self):
+        self.state = mimi_encode_stream_init(self.params, self.batch, self.cfg)
+
+    def encode_chunk(self, audio: np.ndarray) -> np.ndarray:
+        """(Tc,) float samples → (K, Tc/1920) int32 codes (batch=1 sugar)."""
+        a = jnp.asarray(audio, jnp.float32)[None]
+        codes, self.state = _encode_step_jit(
+            self.params, self.state, a, self.cfg, self.num_quantizers
+        )
+        return np.asarray(codes[0], np.int32)
 
 
 class MimiStreamDecoder:

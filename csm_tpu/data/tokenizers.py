@@ -177,3 +177,11 @@ class MimiAudioTokenizer:
         from csm_tpu.codec.streaming import MimiStreamDecoder
 
         return MimiStreamDecoder(self.params, self.cfg)
+
+    def stream_encoder(self):
+        """Stateful streaming encoder (live audio in → codes out): feed
+        1920-sample-multiple chunks, get codes matching full ``encode``
+        for those frame positions (csm_tpu/codec/streaming.py)."""
+        from csm_tpu.codec.streaming import MimiStreamEncoder
+
+        return MimiStreamEncoder(self.params, self.cfg)

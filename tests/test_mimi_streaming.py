@@ -125,3 +125,84 @@ def test_stream_decoder_wrapper(mimi_params, full_decode):
     dec.reset()
     b = dec.decode_chunk(codes[:, :13])
     np.testing.assert_array_equal(a[: b.shape[0]], b)
+
+
+# ---------------------------------------------------------------------------
+# encode-side streaming (live audio in)
+# ---------------------------------------------------------------------------
+
+
+from csm_tpu.codec.mimi import mimi_encode
+from csm_tpu.codec.streaming import (
+    MimiStreamEncoder,
+    mimi_encode_stream_init,
+    mimi_encode_stream_step,
+)
+
+
+@pytest.fixture(scope="module")
+def full_encode():
+    return jax.jit(lambda p, a: mimi_encode(p, a, CFG))
+
+
+def _stream_encode(params, audio, chunk_frames):
+    """Encode (B, T) audio in fixed frame-chunks; returns (B, K, F)."""
+    spf = CFG.samples_per_frame
+    state = mimi_encode_stream_init(params, audio.shape[0], CFG)
+    step = jax.jit(lambda p, s, a: mimi_encode_stream_step(p, s, a, CFG))
+    out = []
+    t = 0
+    while t < audio.shape[1]:
+        n = min(chunk_frames * spf, audio.shape[1] - t)
+        codes, state = step(params, state, audio[:, t : t + n])
+        out.append(np.asarray(codes))
+        t += n
+    return np.concatenate(out, axis=2)
+
+
+def _speechlike(key, B, T):
+    """Band-limited noise (smooth enough that RVQ argmax ties are rare)."""
+    x = np.asarray(jax.random.normal(key, (B, T)), np.float32)
+    k = np.hanning(65).astype(np.float32)
+    k /= k.sum()
+    return np.stack([np.convolve(r, k, mode="same") for r in x])
+
+
+def test_stream_encode_matches_full_10s(mimi_params, full_encode):
+    """10 s encoded in 5-frame chunks == full encode (codes exact up to
+    RVQ argmax boundary ties — require >=99.9% match, as the Mimi oracle
+    parity test does for encode)."""
+    T = 125 * CFG.samples_per_frame  # 10 s
+    audio = _speechlike(jax.random.key(3), 1, T)
+    want = np.asarray(full_encode(mimi_params, jnp.asarray(audio)))
+    got = _stream_encode(mimi_params, jnp.asarray(audio), chunk_frames=5)
+    assert got.shape == want.shape
+    match = float(np.mean(got == want))
+    assert match >= 0.999, f"code match rate {match}"
+
+
+def test_stream_encode_varied_chunks(mimi_params, full_encode):
+    """Chunk size must not matter: 1-frame and 13-frame streams agree."""
+    T = 39 * CFG.samples_per_frame
+    audio = _speechlike(jax.random.key(5), 1, T)
+    a = _stream_encode(mimi_params, jnp.asarray(audio), chunk_frames=1)
+    b = _stream_encode(mimi_params, jnp.asarray(audio), chunk_frames=13)
+    match = float(np.mean(a == b))
+    assert match >= 0.999, f"cross-chunk match rate {match}"
+
+
+def test_stream_encoder_wrapper_roundtrip(mimi_params):
+    """MimiStreamEncoder feeds MimiStreamDecoder: encode→decode streaming
+    round-trip runs end-to-end and rejects misaligned chunks."""
+    spf = CFG.samples_per_frame
+    enc = MimiStreamEncoder(mimi_params, CFG)
+    dec = MimiStreamDecoder(mimi_params, CFG)
+    audio = _speechlike(jax.random.key(9), 1, 6 * spf)[0]
+    out = []
+    for t in range(0, len(audio), 2 * spf):
+        codes = enc.encode_chunk(audio[t : t + 2 * spf])
+        assert codes.shape == (CFG.num_quantizers, 2)
+        out.append(dec.decode_chunk(codes))
+    assert np.concatenate(out).shape == (6 * spf,)
+    with pytest.raises(ValueError):
+        enc.encode_chunk(audio[: spf + 1])
