@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ZeRO-3-style weight sharding over the data axis")
     p.add_argument("--pipeline-parallel", type=int, default=1,
                    help="Pipeline stages (exclusive with --model-parallel/--fsdp)")
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="Sequence-parallel (ring attention) axis size for "
+                        "long-context training; sequence length must "
+                        "divide it")
     p.add_argument("--pp-microbatches", type=int, default=1)
     p.add_argument("--distributed", action="store_true",
                    help="Join a multi-host run (jax.distributed)")
@@ -85,7 +89,8 @@ def make_lora_trainer(args):
 
         pid, nproc = initialize()
         print(f"process {pid}/{nproc}")
-    if args.model_parallel > 1 or args.fsdp or args.pipeline_parallel > 1:
+    if (args.model_parallel > 1 or args.fsdp or args.pipeline_parallel > 1
+            or args.seq_parallel > 1):
         from csm_tpu.parallel.mesh import ParallelConfig
 
         parallel = ParallelConfig(
@@ -93,6 +98,7 @@ def make_lora_trainer(args):
             fsdp=args.fsdp,
             pipeline_parallel=args.pipeline_parallel,
             pp_microbatches=args.pp_microbatches,
+            seq_parallel=args.seq_parallel,
         )
     common = dict(
         output_dir=args.output_dir,

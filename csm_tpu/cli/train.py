@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-parallel", type=int, default=1,
                    help="Pipeline stages over a pipe axis (8B memory "
                         "lever; exclusive with --model-parallel/--fsdp)")
+    p.add_argument("--seq-parallel", type=int, default=1,
+                   help="Sequence-parallel (ring attention) axis size for "
+                        "long-context training; sequence length must "
+                        "divide it")
     p.add_argument("--pp-microbatches", type=int, default=1,
                    help="Microbatches per step in pipeline mode (bubble "
                         "fraction = (P-1)/(M+P-1))")
@@ -186,7 +190,8 @@ def main(argv=None) -> int:
 
         pid, nproc = initialize()
         print(f"process {pid}/{nproc}")
-    if args.model_parallel > 1 or args.fsdp or args.pipeline_parallel > 1:
+    if (args.model_parallel > 1 or args.fsdp or args.pipeline_parallel > 1
+            or args.seq_parallel > 1):
         from csm_tpu.parallel.mesh import ParallelConfig
 
         parallel = ParallelConfig(
@@ -194,6 +199,7 @@ def main(argv=None) -> int:
             fsdp=args.fsdp,
             pipeline_parallel=args.pipeline_parallel,
             pp_microbatches=args.pp_microbatches,
+            seq_parallel=args.seq_parallel,
         )
 
     if args.tiny_test:

@@ -31,7 +31,10 @@ class ParallelConfig:
     ``model_parallel``/``fsdp`` build a (data, model) mesh (Megatron TP +
     optional ZeRO-3 layout, csm_tpu/parallel/sharding.py);
     ``pipeline_parallel`` builds a (data, pipe) mesh instead
-    (csm_tpu/parallel/pipeline.py) — the two mesh layouts are mutually
+    (csm_tpu/parallel/pipeline.py); ``seq_parallel`` builds a (data, seq)
+    mesh for long-context ring-attention training
+    (csm_tpu/parallel/ring_attention.py; batch time dim shards over
+    ``seq`` and must divide it).  The three mesh layouts are mutually
     exclusive.  The remaining devices always form the data axis.
     """
 
@@ -39,21 +42,36 @@ class ParallelConfig:
     fsdp: bool = False
     pipeline_parallel: int = 1
     pp_microbatches: int = 1
+    seq_parallel: int = 1
 
     @property
     def enabled(self) -> bool:
-        return self.model_parallel > 1 or self.fsdp or self.pipeline_parallel > 1
+        return (
+            self.model_parallel > 1
+            or self.fsdp
+            or self.pipeline_parallel > 1
+            or self.seq_parallel > 1
+        )
 
     def build_mesh(self, devices=None) -> Mesh:
+        exclusive = (
+            (self.pipeline_parallel > 1)
+            + (self.seq_parallel > 1)
+            + (self.model_parallel > 1 or self.fsdp)
+        )
+        if exclusive > 1:
+            raise ValueError(
+                "pipeline_parallel, seq_parallel, and model_parallel/fsdp "
+                "are mutually exclusive mesh layouts"
+            )
         if self.pipeline_parallel > 1:
-            if self.model_parallel > 1 or self.fsdp:
-                raise ValueError(
-                    "pipeline_parallel is mutually exclusive with "
-                    "model_parallel/fsdp (pipe and model mesh layouts differ)"
-                )
             from csm_tpu.parallel.pipeline import make_pp_mesh
 
             return make_pp_mesh(devices, pipeline_parallel=self.pipeline_parallel)
+        if self.seq_parallel > 1:
+            from csm_tpu.parallel.ring_attention import make_sp_mesh
+
+            return make_sp_mesh(devices, seq_parallel=self.seq_parallel)
         return make_mesh(devices, model_parallel=self.model_parallel)
 
 

@@ -173,6 +173,7 @@ class CSMTrainer:
         )
         self.state = self._init_state(self.params)
         pp = self.parallel is not None and self.parallel.pipeline_parallel > 1
+        sp = self.parallel is not None and self.parallel.seq_parallel > 1
         self._step_fn = make_train_step(
             self.args,
             self.tx,
@@ -182,6 +183,7 @@ class CSMTrainer:
             remat=self.remat,
             pp_mesh=self.mesh if pp else None,
             pp_microbatches=self.parallel.pp_microbatches if pp else 1,
+            seq_mesh=self.mesh if sp else None,
         )
         self._eval_fn = make_eval_step(
             self.args,
@@ -200,6 +202,13 @@ class CSMTrainer:
             from csm_tpu.parallel.pipeline import shard_params_pp
 
             return shard_params_pp(params, self.mesh)
+        if self.parallel.seq_parallel > 1:
+            # sequence-parallel: weights replicated, SEQUENCE sharded —
+            # ring attention moves KV, not weights
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P())
+            return jax.tree.map(lambda x: jax.device_put(x, sh), params)
         from csm_tpu.parallel.sharding import shard_params
 
         return shard_params(params, self.mesh, fsdp=self.parallel.fsdp)
@@ -212,6 +221,24 @@ class CSMTrainer:
             raise ValueError(
                 f"batch size {batch.tokens.shape[0]} not divisible by the "
                 f"data axis ({dp}); pick batch_size as a multiple"
+            )
+        if self.parallel.seq_parallel > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp = self.mesh.shape["seq"]
+            if batch.tokens.shape[1] % sp:
+                raise ValueError(
+                    f"sequence length {batch.tokens.shape[1]} not divisible "
+                    f"by the seq axis ({sp})"
+                )
+            d = lambda *s: NamedSharding(self.mesh, P(*s))  # noqa: E731
+            from csm_tpu.training.losses import Batch
+
+            return Batch(
+                tokens=jax.device_put(batch.tokens, d("data", "seq", None)),
+                tokens_mask=jax.device_put(batch.tokens_mask, d("data", "seq", None)),
+                targets=jax.device_put(batch.targets, d("data", "seq", None)),
+                target_mask=jax.device_put(batch.target_mask, d("data", "seq")),
             )
         from csm_tpu.parallel.sharding import shard_batch
 
@@ -448,6 +475,8 @@ class CSMLoRATrainer(CSMTrainer):
             lora_dropout=self.lora_config.dropout,
             pp_mesh=self.mesh if pp else None,
             pp_microbatches=self.parallel.pp_microbatches if pp else 1,
+            seq_mesh=(self.mesh if self.parallel is not None
+                      and self.parallel.seq_parallel > 1 else None),
         )
         self._eval_fn = self._make_lora_eval()
         return self.tx

@@ -158,3 +158,28 @@ def test_fit_spec_replicates_indivisible_dims():
     assert fit_spec((4,), P(("data", "model"),), mesh) == P(None)
     # spec longer than rank (scalar-ish leaves) tolerated
     assert fit_spec((), P(), mesh) == P()
+
+
+@pytest.mark.multichip
+def test_trainer_seq_parallel_matches_single_device(tmp_path):
+    """ParallelConfig(seq_parallel): the backbone runs ring attention with
+    the batch's time dim sharded over ``seq`` — same losses as local."""
+    out = _run_cpu8(
+        _COMMON
+        + f"""
+base = CSMTrainer(output_dir={str(tmp_path / 'a')!r}, args=args,
+                  params=jax.tree.map(jnp.array, params),
+                  learning_rate=1e-3, compute_dtype=jnp.float32, remat=False)
+l1 = run(base)
+
+sp = CSMTrainer(output_dir={str(tmp_path / 'b')!r}, args=args,
+                params=jax.tree.map(jnp.array, params),
+                learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+                parallel=ParallelConfig(seq_parallel=2))
+l2 = run(sp)
+assert dict(sp.mesh.shape) == {{"data": 4, "seq": 2}}
+np.testing.assert_allclose(l1, l2, rtol=2e-4)
+print("trainer seq parity OK", l1, l2)
+"""
+    )
+    assert "trainer seq parity OK" in out
