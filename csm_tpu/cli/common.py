@@ -62,6 +62,30 @@ def resolve_speaker(args) -> int:
     return args.speaker
 
 
+def add_parallel_args(parser: argparse.ArgumentParser):
+    """Parallelism flags shared by csm-train / csm-finetune-lora[-multi]
+    (mesh over the attached devices; see docs/architecture.md)."""
+    g = parser.add_argument_group("Parallelism")
+    g.add_argument("--model-parallel", type=int, default=1,
+                   help="Tensor-parallel axis size (Megatron-style TP)")
+    g.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style weight sharding over the data axis")
+    g.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="Pipeline stages over a pipe axis (8B memory "
+                        "lever; exclusive with --model-parallel/--fsdp)")
+    g.add_argument("--seq-parallel", type=int, default=1,
+                   help="Sequence-parallel (ring attention) axis size for "
+                        "long-context training; the sequence length must "
+                        "be a multiple of it")
+    g.add_argument("--pp-microbatches", type=int, default=1,
+                   help="Microbatches per step in pipeline mode (bubble "
+                        "fraction = (P-1)/(M+P-1))")
+    g.add_argument("--distributed", action="store_true",
+                   help="Join a multi-host run (jax.distributed; on TPU "
+                        "pods topology is auto-detected)")
+    return parser
+
+
 def add_tiny_test_flag(parser: argparse.ArgumentParser):
     parser.add_argument(
         "--tiny-test",

@@ -17,7 +17,7 @@ import sys
 import time
 from types import SimpleNamespace
 
-from csm_tpu.cli.common import add_tiny_test_flag
+from csm_tpu.cli.common import add_parallel_args, add_tiny_test_flag
 from csm_tpu.cli.finetune_lora import add_lora_args, make_lora_trainer
 from csm_tpu.cli.train import build_tokenizers, prepare_datasets
 
@@ -73,6 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--generate-samples", action="store_true")
     add_lora_args(p)
+    add_parallel_args(p)
     add_tiny_test_flag(p)
     return p
 

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--no-watermark", action="store_true")
     p.add_argument("--watermark-ckpt", type=str, default=None)
+    p.add_argument("--follow", action="store_true",
+                   help="Daemon mode (requires --requests -): admit JSONL "
+                        "requests from stdin AS THEY ARRIVE (continuous "
+                        "batching admits each at the next frame boundary), "
+                        "write each wav the moment its request finishes, "
+                        "exit on stdin EOF once everything drains.")
     p.add_argument("--stream", action="store_true",
                    help="Stream per-request audio while decoding: each "
                         "request's frames are Mimi-decoded incrementally "
@@ -90,10 +96,16 @@ class _StreamSink:
                 [block, np.zeros((pad_to - block.shape[0], block.shape[1]),
                                  block.dtype)]
             )
-        audio = self.decoder.decode_chunk(block.T)
-        self.audio.append(audio[: n * self.decoder.cfg.samples_per_frame])
+        # async dispatch: codec decode overlaps the server's next token
+        # chunk; only the FIRST chunk blocks (it times first-audio) and
+        # the rest are fetched at wav-write time
+        audio = self.decoder.decode_chunk_async(block.T)
+        self.audio.append((audio, n * self.decoder.cfg.samples_per_frame))
         self.decoded += n
         if self.first_audio_s is None:
+            import jax
+
+            jax.block_until_ready(audio)
             self.first_audio_s = _t.time() - self.t0
 
     def __call__(self, rid, new, done):
@@ -111,7 +123,9 @@ class _StreamSink:
                 self._decode(rem, pad_to=self.chunk)
             self.done_s = _t.time() - self.t0
             audio = (
-                np.concatenate(self.audio)
+                np.concatenate(
+                    [np.asarray(a, np.float32)[:keep] for a, keep in self.audio]
+                )
                 if self.audio
                 else np.zeros(0, np.float32)
             )
@@ -130,6 +144,77 @@ def load_requests(path: str):
     return reqs
 
 
+def _poll_stdin():
+    """Drain whatever complete lines stdin has RIGHT NOW (non-blocking).
+
+    Returns (lines, eof)."""
+    import select
+
+    lines = []
+    while select.select([sys.stdin], [], [], 0.0)[0]:
+        line = sys.stdin.readline()
+        if line == "":
+            return lines, True
+        line = line.strip()
+        if line:
+            lines.append(line)
+    return lines, False
+
+
+def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
+    """Daemon loop: poll stdin for new JSONL requests, admit them at frame
+    boundaries (continuous batching), emit each result the moment it
+    finishes; exit at EOF once pending + active drain."""
+    import json as _json
+
+    pending = []
+    results = []
+    eof = False
+    n_seen = 0
+    t0 = time.time()
+    while True:
+        if not eof:
+            lines, eof = _poll_stdin()
+            for line in lines:
+                try:
+                    r = _json.loads(line)
+                except ValueError as e:
+                    print(f"  bad request line skipped: {e}", file=sys.stderr)
+                    continue
+                try:
+                    sr = to_stream_request(n_seen, r)
+                except (KeyError, ValueError, OSError) as e:
+                    # a daemon must outlive one malformed request
+                    print(f"  bad request {r.get('id', n_seen)!r} skipped: "
+                          f"{e!r}", file=sys.stderr)
+                    sr = None
+                n_seen += 1
+                if sr is None:
+                    continue
+                if args.stream:
+                    attach_sink(sr, time.time())  # latency from ARRIVAL
+                pending.append(sr)
+        while pending and server.submit(pending[0]) is not None:
+            pending.pop(0)
+        done = server.step()
+        for res in done:
+            emit_result(res)
+            results.append(res)
+        idle = not server.active.any() and not pending
+        if idle:
+            if eof:
+                break
+            time.sleep(0.02)  # nothing in flight; wait for stdin
+    wall = time.time() - t0
+    total_frames = sum(r.n_steps for r in results)
+    stats = {
+        "total_frames": total_frames,
+        "frames_per_s": total_frames / max(wall, 1e-9),
+        "aggregate_rtf": total_frames / 12.5 / max(wall, 1e-9),
+    }
+    return results, stats, wall
+
+
 def main(argv=None) -> int:
     from csm_tpu.cli.common import enable_compile_cache
 
@@ -137,12 +222,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from csm_tpu.serving import BatchedServer, StreamRequest
 
-    raw = load_requests(args.requests)
-    if not raw:
-        print("no requests", file=sys.stderr)
-        return 1
-
-    print(f"Loading model... ({len(raw)} requests)")
+    if args.follow:
+        if args.requests != "-":
+            print("--follow requires --requests - (stdin)", file=sys.stderr)
+            return 2
+        raw = []
+        print("Loading model... (--follow: requests from stdin)")
+    else:
+        raw = load_requests(args.requests)
+        if not raw:
+            print("no requests", file=sys.stderr)
+            return 1
+        print(f"Loading model... ({len(raw)} requests)")
     t0 = time.time()
     generator = build_generator(args)
     if args.tiny_test:
@@ -199,38 +290,30 @@ def main(argv=None) -> int:
         topk=args.topk, compute_dtype=generator.compute_dtype,
         chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
     )
-    requests = [
-        sr for sr in (to_stream_request(i, r) for i, r in enumerate(raw))
-        if sr is not None
-    ]
-    if not requests:
-        print("no servable requests", file=sys.stderr)
-        return 1
-
     os.makedirs(args.output_dir, exist_ok=True)
-    t0 = time.time()
-    sinks = {}
-    if args.stream:
-        if wmark is not None:
-            print("--stream: skipping watermark (whole-utterance op); "
-                  "watermark the written wavs with csm-verify's encoder "
-                  "if needed", file=sys.stderr)
-            wmark = None
-        for sr_req in requests:
-            out = os.path.join(args.output_dir, f"{sr_req.request_id}.wav")
-            sink = _StreamSink(
-                sr_req.request_id, generator.mimi.stream_decoder(),
-                args.chunk_size, out, generator.sample_rate, t0,
-            )
-            sinks[sr_req.request_id] = sink
-            sr_req.on_frames = sink
-
-    results, stats = server.run(requests)
-    wall = time.time() - t0
-
     from csm_tpu.data.audio import save_wav
 
-    for res in results:
+    if args.stream and wmark is not None:
+        print("--stream: skipping watermark (whole-utterance op); "
+              "watermark the written wavs with csm-verify's encoder "
+              "if needed", file=sys.stderr)
+        wmark = None
+
+    sinks = {}
+
+    def attach_sink(sr_req, t_ref):
+        """Stream mode: per-request carried-state decoder + wav writer.
+        ``t_ref`` anchors first-audio timing (serve start in batch mode,
+        request arrival in --follow mode)."""
+        out = os.path.join(args.output_dir, f"{sr_req.request_id}.wav")
+        sink = _StreamSink(
+            sr_req.request_id, generator.mimi.stream_decoder(),
+            args.chunk_size, out, generator.sample_rate, t_ref,
+        )
+        sinks[sr_req.request_id] = sink
+        sr_req.on_frames = sink
+
+    def emit_result(res):
         out = os.path.join(args.output_dir, f"{res.request_id}.wav")
         if args.stream:
             sink = sinks[res.request_id]
@@ -238,13 +321,34 @@ def main(argv=None) -> int:
                   f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s) "
                   f"first audio +{(sink.first_audio_s or 0) * 1000:.0f} ms, "
                   f"done +{(sink.done_s or 0):.2f} s")
-            continue
+            return
         audio = generator.mimi.decode(res.frames.T)
         if wmark is not None and audio.shape[0]:
             audio, _ = wmark(audio, generator.sample_rate)
         save_wav(out, audio, generator.sample_rate)
         print(f"  {out}: {res.frames.shape[0]} frames "
               f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s)")
+
+    if args.follow:
+        results, stats, wall = _serve_follow(
+            args, server, to_stream_request, attach_sink, emit_result
+        )
+    else:
+        requests = [
+            sr for sr in (to_stream_request(i, r) for i, r in enumerate(raw))
+            if sr is not None
+        ]
+        if not requests:
+            print("no servable requests", file=sys.stderr)
+            return 1
+        t0 = time.time()
+        if args.stream:
+            for sr_req in requests:
+                attach_sink(sr_req, t0)
+        results, stats = server.run(requests)
+        wall = time.time() - t0
+        for res in results:
+            emit_result(res)
 
     print(f"Served {len(results)} requests in {wall:.2f}s: "
           f"{stats['total_frames']} frames, "

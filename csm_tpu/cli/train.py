@@ -17,7 +17,7 @@ import glob
 import os
 import sys
 
-from csm_tpu.cli.common import add_tiny_test_flag
+from csm_tpu.cli.common import add_parallel_args, add_tiny_test_flag
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,24 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--resume-from", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
-    # Parallelism (mesh over the attached devices; see docs/architecture.md)
-    p.add_argument("--model-parallel", type=int, default=1,
-                   help="Tensor-parallel axis size (Megatron-style TP)")
-    p.add_argument("--fsdp", action="store_true",
-                   help="ZeRO-3-style weight sharding over the data axis")
-    p.add_argument("--pipeline-parallel", type=int, default=1,
-                   help="Pipeline stages over a pipe axis (8B memory "
-                        "lever; exclusive with --model-parallel/--fsdp)")
-    p.add_argument("--seq-parallel", type=int, default=1,
-                   help="Sequence-parallel (ring attention) axis size for "
-                        "long-context training; sequence length must "
-                        "divide it")
-    p.add_argument("--pp-microbatches", type=int, default=1,
-                   help="Microbatches per step in pipeline mode (bubble "
-                        "fraction = (P-1)/(M+P-1))")
-    p.add_argument("--distributed", action="store_true",
-                   help="Join a multi-host run (jax.distributed; on TPU "
-                        "pods topology is auto-detected)")
+    add_parallel_args(p)
     # Samples
     p.add_argument("--generate-samples", action="store_true")
     p.add_argument("--sample-prompt", type=str, default="Hello from CSM.")

@@ -477,7 +477,14 @@ class MimiStreamDecoder:
 
     def decode_chunk(self, codes: np.ndarray) -> np.ndarray:
         """(K, Tc) int codes → (Tc*1920,) float32 samples (batch=1 sugar)."""
+        return np.asarray(self.decode_chunk_async(codes), np.float32)
+
+    def decode_chunk_async(self, codes: np.ndarray):
+        """Like decode_chunk but returns the (Tc*1920,) DEVICE array
+        without blocking — JAX dispatch is asynchronous, so callers in a
+        latency-sensitive loop (e.g. the serving stream sink) can overlap
+        codec decode with the next token chunk and fetch results later."""
         c = jnp.asarray(codes)[None]
         c = jnp.minimum(c, self.cfg.codebook_size - 1)
         audio, self.state = _decode_step_jit(self.params, self.state, c, self.cfg)
-        return np.asarray(audio[0], np.float32)
+        return audio[0]

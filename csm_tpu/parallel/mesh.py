@@ -33,8 +33,8 @@ class ParallelConfig:
     ``pipeline_parallel`` builds a (data, pipe) mesh instead
     (csm_tpu/parallel/pipeline.py); ``seq_parallel`` builds a (data, seq)
     mesh for long-context ring-attention training
-    (csm_tpu/parallel/ring_attention.py; batch time dim shards over
-    ``seq`` and must divide it).  The three mesh layouts are mutually
+    (csm_tpu/parallel/ring_attention.py; the batch's time dim shards
+    over ``seq``, so it must be a multiple of the axis size).  The three mesh layouts are mutually
     exclusive.  The remaining devices always form the data axis.
     """
 
@@ -72,7 +72,12 @@ class ParallelConfig:
             from csm_tpu.parallel.ring_attention import make_sp_mesh
 
             return make_sp_mesh(devices, seq_parallel=self.seq_parallel)
-        return make_mesh(devices, model_parallel=self.model_parallel)
+        # (data, model): DCN-aware layout — data outermost across slices so
+        # only the gradient all-reduce crosses slices (single slice/host
+        # reduces to make_mesh exactly)
+        from csm_tpu.parallel.distributed import hybrid_mesh
+
+        return hybrid_mesh(model_parallel=self.model_parallel, devices=devices)
 
 
 def make_mesh(

@@ -130,10 +130,17 @@ def shard_params_pp(params, mesh: Mesh):
 
 def shard_lora_pp(lora: dict, mesh: Mesh) -> dict:
     """Place a layer-stacked LoRA adapter tree (csm_tpu/training/lora.py)
-    onto the pipe mesh: every (L, ·, ·) adapter shards its layer axis like
-    the base weights it adapts."""
-    sh = NamedSharding(mesh, P(PIPE_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), lora)
+    onto the pipe mesh: backbone adapters shard their layer axis like the
+    base stack they ride through the pipeline; decoder adapters (the
+    decoder runs OUTSIDE the pipelined region, and its 4 layers may not
+    divide the stage count) fall back to replication when indivisible."""
+    pipe = mesh.shape[PIPE_AXIS]
+
+    def put(x):
+        sp = P(PIPE_AXIS) if x.shape[0] % pipe == 0 else P()
+        return jax.device_put(x, NamedSharding(mesh, sp))
+
+    return jax.tree.map(put, lora)
 
 
 def _pipeline_local(

@@ -81,6 +81,13 @@ def load_checkpoint(
     restore placement; without it arrays restore host-local.
     """
     path = os.path.abspath(path)
+    if template is not None:
+        # keep only keys the checkpoint actually contains (a params-only
+        # checkpoint restores into a params+opt_state template otherwise)
+        template = {
+            k: v for k, v in template.items()
+            if os.path.isdir(os.path.join(path, k))
+        } or None
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
             restored = ckptr.restore(

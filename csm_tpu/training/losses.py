@@ -139,37 +139,28 @@ def compute_loss(
             params["backbone"], bb, h, positions[0], pp_mesh, pp_microbatches,
             lora=None if lora is None else lora.get("backbone"),
             lora_scale=lora_scale, remat=remat,
-        )
-        return _loss_from_backbone_out(
-            params, args, key, batch, h,
-            semantic_weight=semantic_weight,
-            acoustic_weight=acoustic_weight,
-            amortization_ratio=amortization_ratio,
-            compute_dtype=compute_dtype, remat=remat,
-            lora=lora, lora_scale=lora_scale,
-            drop_on=drop_on, k_dec_drop=k_dec_drop,
-            lora_dropout=lora_dropout,
-        )
-    if seq_mesh is not None:
-        from csm_tpu.parallel.ring_attention import sharded_ring_attention
-
-        mask, flash_pos = None, None
-        attn_impl = lambda q, k, v: sharded_ring_attention(  # noqa: E731
-            seq_mesh, q, k, v, positions, positions[0]
-        )
-    elif use_flash(T):
-        mask, flash_pos = None, (positions, positions[0])
+        )  # (B, T, E_b)
     else:
-        mask, flash_pos = causal_mask_from_positions(positions, positions[0]), None
-    h, _ = transformer_apply(
-        params["backbone"], bb, h, positions, mask, remat=remat,
-        lora=None if lora is None else lora.get("backbone"),
-        lora_scale=lora_scale,
-        flash_pos=flash_pos,
-        lora_dropout_rate=lora_dropout if drop_on else 0.0,
-        lora_dropout_key=k_bb_drop if drop_on else None,
-        attn_impl=attn_impl,
-    )  # (B, T, E_b)
+        if seq_mesh is not None:
+            from csm_tpu.parallel.ring_attention import sharded_ring_attention
+
+            mask, flash_pos = None, None
+            attn_impl = lambda q, k, v: sharded_ring_attention(  # noqa: E731
+                seq_mesh, q, k, v, positions, positions[0]
+            )
+        elif use_flash(T):
+            mask, flash_pos = None, (positions, positions[0])
+        else:
+            mask, flash_pos = causal_mask_from_positions(positions, positions[0]), None
+        h, _ = transformer_apply(
+            params["backbone"], bb, h, positions, mask, remat=remat,
+            lora=None if lora is None else lora.get("backbone"),
+            lora_scale=lora_scale,
+            flash_pos=flash_pos,
+            lora_dropout_rate=lora_dropout if drop_on else 0.0,
+            lora_dropout_key=k_bb_drop if drop_on else None,
+            attn_impl=attn_impl,
+        )  # (B, T, E_b)
     return _loss_from_backbone_out(
         params, args, key, batch, h,
         semantic_weight=semantic_weight,

@@ -133,9 +133,14 @@ def make_eval_step(
     acoustic_weight: float = 1.0,
     amortization_ratio: int = 16,
     compute_dtype=jnp.bfloat16,
+    seq_mesh=None,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ) -> Callable:
     """Returns jitted ``eval_step(params, key, batch) -> metrics``
-    (reference validation pass: src/csm/training/trainer.py:359-394)."""
+    (reference validation pass: src/csm/training/trainer.py:359-394).
+    Mesh args mirror make_train_step so validation runs the SAME
+    backbone program (pipelined / ring) as training."""
 
     @jax.jit
     def eval_step(params, key: jax.Array, batch: Batch):
@@ -148,6 +153,9 @@ def make_eval_step(
             acoustic_weight=acoustic_weight,
             amortization_ratio=amortization_ratio,
             compute_dtype=compute_dtype,
+            seq_mesh=seq_mesh,
+            pp_mesh=pp_mesh,
+            pp_microbatches=pp_microbatches,
         )
         return metrics
 

@@ -85,7 +85,7 @@ class CSMTrainer:
         shard the train state over a device mesh (TP+FSDP on a
         (data, model) mesh, or pipeline stages on a (data, pipe) mesh)
         and place every batch over the data axis.  The same jitted step
-        then runs SPMD; batch_size must divide the data axis size."""
+        then runs SPMD; batch_size must be a multiple of the data axis size."""
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.logger = setup_logger(
@@ -190,6 +190,9 @@ class CSMTrainer:
             semantic_weight=self.semantic_weight,
             acoustic_weight=self.acoustic_weight,
             compute_dtype=self.compute_dtype,
+            pp_mesh=self.mesh if pp else None,
+            pp_microbatches=self.parallel.pp_microbatches if pp else 1,
+            seq_mesh=self.mesh if sp else None,
         )
         return self.tx
 
@@ -216,6 +219,19 @@ class CSMTrainer:
     def _place_batch(self, batch):
         if self.mesh is None:
             return batch
+        if jax.process_count() > 1:
+            # Multi-host: each process feeds only its LOCAL rows of the
+            # global batch (load your shard of the dataset per host); the
+            # logically-global array is assembled without any host ever
+            # materializing the full batch.
+            if self.parallel.pipeline_parallel > 1 or self.parallel.seq_parallel > 1:
+                raise NotImplementedError(
+                    "multi-host batch feed currently supports the "
+                    "(data, model) mesh layout"
+                )
+            from csm_tpu.parallel.distributed import global_batch_from_local
+
+            return global_batch_from_local(batch, self.mesh)
         dp = self.mesh.shape["data"]
         if batch.tokens.shape[0] % dp:
             raise ValueError(
@@ -373,7 +389,17 @@ class CSMTrainer:
             path = ckpt.latest_checkpoint(os.path.join(self.output_dir, "checkpoints"))
             if path is None:
                 raise FileNotFoundError("no latest checkpoint to resume from")
-        state, meta = ckpt.load_checkpoint(path)
+        # restore INTO the prepared state's shardings — without a template
+        # arrays land host-local, silently defeating mesh placement on
+        # resume (and materializing the full 8B tree on one device)
+        template = None
+        if self.state is not None:
+            template = {"params": self.state.params}
+            if self.state.opt_state is not None and jax.tree.leaves(
+                self.state.opt_state
+            ):
+                template["opt_state"] = self.state.opt_state
+        state, meta = ckpt.load_checkpoint(path, template=template)
         self.state = state
         self.epoch = meta.get("epoch", 0)
         self.global_step = meta.get("global_step", 0)

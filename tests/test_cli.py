@@ -213,3 +213,41 @@ def test_serve_stream_matches_batch(tmp_path):
         assert sr_a == sr_b == 24_000
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_serve_follow_admits_incrementally(tmp_path):
+    """csm-serve --follow: requests piped to stdin are admitted as they
+    arrive (daemon mode), each wav lands when its request finishes, and
+    the process exits cleanly on EOF."""
+    import subprocess
+    import sys
+    import time as _time
+
+    out = tmp_path / "followed"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csm_tpu.cli.serve",
+         "--requests", "-", "--follow", "--output-dir", str(out),
+         "--tiny-test", "--no-watermark", "--n-slots", "2",
+         "--chunk-size", "2"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        proc.stdin.write(json.dumps(
+            {"id": "fa", "text": "first", "max_audio_length_ms": 400}) + "\n")
+        proc.stdin.flush()
+        _time.sleep(1.0)  # second request arrives later
+        proc.stdin.write(json.dumps(
+            {"id": "fb", "text": "second arrives later",
+             "max_audio_length_ms": 400}) + "\n")
+        # communicate() flushes + closes stdin (EOF) and drains stdout
+        stdout = proc.communicate(timeout=900)[0]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stdout
+    for rid in ("fa", "fb"):
+        audio, sr = load_wav(str(out / f"{rid}.wav"))
+        assert sr == 24_000 and audio.shape[0] <= 5 * 1920
+    assert "Served 2 requests" in stdout, stdout

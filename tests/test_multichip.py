@@ -7,37 +7,9 @@ subprocess with ``JAX_PLATFORMS=cpu`` + 8 virtual host devices — the
 exact environment the driver uses for ``dryrun_multichip``.
 """
 
-import os
-import subprocess
-import sys
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _run_cpu8(code: str, timeout: int = 1800) -> str:
-    # Scrub the axon TPU plugin env — its sitecustomize force-selects the
-    # TPU platform regardless of JAX_PLATFORMS.
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON_"))
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        env=env,
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
-    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
-    return proc.stdout
+from cpu_mesh import run_cpu8 as _run_cpu8
 
 
 @pytest.mark.multichip
@@ -233,24 +205,10 @@ def test_fullsize_1b_sharded_step_compiles():
     (VERDICT round-1 weak #4 — tiny-shape-only sharding evidence).  Also
     regression-guards the 2051-vocab indivisibility (fit_spec): before the
     fix, placing the real head shapes on a model>1 mesh raised outright."""
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON_"))
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    env["CSM_DRYRUN_FULLSIZE"] = "1"
-    code = (
+    out = _run_cpu8(
         "import jax, __graft_entry__ as g\n"
         "from csm_tpu.parallel.mesh import make_mesh\n"
-        "g._compile_1b_fullsize(make_mesh(jax.devices()[:8], model_parallel=2))\n"
+        "g._compile_1b_fullsize(make_mesh(jax.devices()[:8], model_parallel=2))\n",
+        extra_env={"CSM_DRYRUN_FULLSIZE": "1"},
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=1800,
-    )
-    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
-    assert "1B FULL-SIZE sharded step compiles" in proc.stdout
+    assert "1B FULL-SIZE sharded step compiles" in out

@@ -7,35 +7,10 @@ tests/test_multichip.py — 8 virtual CPU devices, the environment the
 driver uses for ``dryrun_multichip``.
 """
 
-import os
-import subprocess
-import sys
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from cpu_mesh import run_cpu8 as _run_cpu8
 
-
-def _run_cpu8(code: str, timeout: int = 1800) -> str:
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON_"))
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        env=env,
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
-    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
-    return proc.stdout
 
 
 _COMMON = """
