@@ -81,19 +81,46 @@ def load_checkpoint(
     restore placement; without it arrays restore host-local.
     """
     path = os.path.abspath(path)
-    if template is not None:
-        # keep only keys the checkpoint actually contains (a params-only
-        # checkpoint restores into a params+opt_state template otherwise)
-        template = {
-            k: v for k, v in template.items()
-            if os.path.isdir(os.path.join(path, k))
-        } or None
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
+            # keep only keys the checkpoint actually contains (a
+            # params-only checkpoint restores into a params+opt_state
+            # template otherwise); the OCDBT layout has no per-key
+            # subdirectories, so ask the checkpoint metadata
+            try:
+                saved_keys = set(ckptr.metadata(path).item_metadata.tree.keys())
+            except Exception:
+                saved_keys = None  # unknown layout: trust the template
+            if saved_keys is not None:
+                template = {
+                    k: v for k, v in template.items() if k in saved_keys
+                } or None
+        if template is not None:
+            # Restore against an ABSTRACT tree: with concrete-array items
+            # orbax ignores the requested shardings and falls back to the
+            # CHECKPOINT's recorded ones — wrong mesh placement on resume
+            # (and unsafe across topologies).
+            def to_abstract(x):
+                sharding = getattr(x, "sharding", None)
+                if not isinstance(sharding, jax.sharding.Sharding):
+                    sharding = None
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+            def restore_arg(x):
+                # construct_restore_args drops ShapeDtypeStruct shardings
+                # (orbax 0.11) — build ArrayRestoreArgs explicitly
+                return ocp.ArrayRestoreArgs(
+                    restore_type=jax.Array,
+                    sharding=x.sharding,
+                    global_shape=x.shape,
+                    dtype=x.dtype,
+                )
+
+            abstract = jax.tree.map(to_abstract, template)
             restored = ckptr.restore(
-                path, ocp.args.PyTreeRestore(
-                    item=template,
-                    restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+                path, args=ocp.args.PyTreeRestore(
+                    item=abstract,
+                    restore_args=jax.tree.map(restore_arg, abstract),
                 )
             )
         else:

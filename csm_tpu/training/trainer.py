@@ -266,6 +266,20 @@ class CSMTrainer:
         # jitted init propagates the params' shardings into the moments
         with jax.transfer_guard("allow"):
             opt_state = jax.jit(self.tx.init)(params)
+        # scalars (step counts) come back single-device/uncommitted; pin
+        # them replicated so checkpoint restore can reproduce the exact
+        # placement (a restored COMMITTED single-device scalar next to
+        # 8-device params fails jit's device check)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+
+        def pin(x):
+            if isinstance(x.sharding, NamedSharding):
+                return x
+            return jax.device_put(x, rep)
+
+        opt_state = jax.tree.map(pin, opt_state)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     def _run_step(self, key, batch):

@@ -140,6 +140,73 @@ def test_fit_spec_replicates_indivisible_dims():
 
 
 @pytest.mark.multichip
+def test_sharded_resume_restores_mesh_placement(tmp_path):
+    """Checkpoint resume on a mesh: arrays must restore INTO the prepared
+    state's NamedShardings (not host-local), and training must continue
+    with the restored counters.  Guards the resume-template path in
+    CSMTrainer.load_checkpoint."""
+    out = _run_cpu8(
+        _COMMON
+        + f"""
+from jax.sharding import NamedSharding
+
+tp = CSMTrainer(output_dir={str(tmp_path / 'a')!r}, args=args,
+                params=jax.tree.map(jnp.array, params),
+                learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+                parallel=ParallelConfig(model_parallel=2, fsdp=True))
+l1 = run(tp)
+tp.save_checkpoint("final")
+
+res = CSMTrainer(output_dir={str(tmp_path / 'a')!r}, args=args,
+                 params=jax.tree.map(jnp.array, params),
+                 learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+                 parallel=ParallelConfig(model_parallel=2, fsdp=True))
+res.prepare_optimizer()
+want = jax.tree.map(lambda x: x.sharding, res.state.params)
+res.load_checkpoint("latest")
+got = jax.tree.map(lambda x: x.sharding, res.state.params)
+flat_w, _ = jax.tree.flatten(want)
+flat_g, _ = jax.tree.flatten(got)
+assert all(isinstance(s, NamedSharding) for s in flat_g)
+assert flat_w == flat_g, "restore changed shardings"
+assert res.global_step == 3
+l2 = res.train(list(data), batch_size=8, epochs=1, val_every=1000,
+               save_every=1000)
+assert np.isfinite(l2)
+print("sharded resume OK", l1, l2)
+"""
+    )
+    assert "sharded resume OK" in out
+
+
+def test_load_checkpoint_filters_template_to_contents(tmp_path):
+    """A params-only checkpoint must restore into a params+opt_state
+    template by dropping the absent opt_state key (not raising)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.models.config import tiny_test_args
+    from csm_tpu.models.csm import init_csm_params
+    from csm_tpu.training import checkpoint as ckpt
+    from csm_tpu.training.optimizer import TrainState
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    state = TrainState(params=params, opt_state=None, step=jnp.int32(0))
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), "only_params", state, args)
+
+    template = {
+        "params": jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+        ),
+        "opt_state": {"m": jax.ShapeDtypeStruct((4,), jnp.float32)},
+    }
+    restored, meta = ckpt.load_checkpoint(path, template=template)
+    assert restored.opt_state is None
+    assert jax.tree.structure(restored.params) == jax.tree.structure(params)
+
+
+@pytest.mark.multichip
 def test_trainer_seq_parallel_matches_single_device(tmp_path):
     """ParallelConfig(seq_parallel): the backbone runs ring attention with
     the batch's time dim sharded over ``seq`` — same losses as local."""
