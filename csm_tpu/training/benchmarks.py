@@ -166,7 +166,13 @@ def run_stack_benchmark(
     compute_dtype=jnp.bfloat16,
 ) -> dict:
     """Timing of every stage of the stack
-    (reference: run_mlx_benchmark.py:313-498)."""
+    (reference: run_mlx_benchmark.py:313-498).
+
+    The train-step stage auto-selects full-parameter AdamW when the train
+    state fits the chip, else the LoRA step: CSM-1B full fine-tune needs
+    ~17.6 GB (f32 params + Adam moments + transient grads) — more than
+    one 16 GB v5e; that case is what ``--fsdp`` / ``--pipeline-parallel``
+    exist for (docs/architecture.md)."""
     from csm_tpu.models.generation import generate_audio_tokens
 
     args = args or tiny_test_args()
@@ -177,28 +183,53 @@ def run_stack_benchmark(
     jax.block_until_ready(params["audio_head"])
     out["model_init_s"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    tx = make_optimizer(params, learning_rate=1e-4)
-    state = init_train_state(jax.tree.map(jnp.array, params), tx)
-    out["optimizer_prep_s"] = round(time.time() - t0, 3)
-
     batch = make_mock_batch(args, batch_size, seq_len)
 
-    # forward (loss only)
+    # forward (loss only; batch passed as an argument so it is NOT baked
+    # into the executable as a constant)
     from csm_tpu.training.losses import compute_loss
 
-    fwd = jax.jit(lambda p, k: compute_loss(p, args, k, batch,
-                                            compute_dtype=compute_dtype)[0])
-    fwd(params, jax.random.key(0)).block_until_ready()
+    fwd = jax.jit(lambda p, k, b: compute_loss(p, args, k, b,
+                                               compute_dtype=compute_dtype)[0])
+    fwd(params, jax.random.key(0), batch).block_until_ready()
     t0 = time.time()
     for i in range(steps):
-        v = fwd(params, jax.random.key(i))
+        v = fwd(params, jax.random.key(i), batch)
     v.block_until_ready()
     out["forward_s"] = round((time.time() - t0) / steps, 5)
 
-    # train step (keep the returned state: the step donates its input)
-    step = make_train_step(args, tx, compute_dtype=compute_dtype)
-    dt, state = _timed_steps(step, state, (), batch, steps)
+    # train step: full-FT if params + 2 Adam moments + transient grads
+    # fit the device, else adapter-only (the single-chip training config)
+    params_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
+    try:
+        limit = jax.local_devices()[0].memory_stats()["bytes_limit"]
+    except Exception:
+        limit = 16 * 1024**3
+    full_fits = 4.3 * params_bytes < limit  # params + m + v + grads + slack
+    if full_fits:
+        out["train_mode"] = "full"
+        t0 = time.time()
+        tx = make_optimizer(params, learning_rate=1e-4)
+        state = init_train_state(jax.tree.map(jnp.array, params), tx)
+        out["optimizer_prep_s"] = round(time.time() - t0, 3)
+        step = make_train_step(args, tx, compute_dtype=compute_dtype)
+        dt, state = _timed_steps(step, state, (), batch, steps)
+    else:
+        out["train_mode"] = (
+            "lora (full-FT state exceeds single-chip HBM; use "
+            "--fsdp/--pipeline-parallel for full fine-tune)"
+        )
+        lcfg = lora_mod.LoRAConfig()
+        lora = lora_mod.init_lora_params(jax.random.key(1), args, lcfg)
+        t0 = time.time()
+        tx = make_lora_optimizer(1e-4)
+        state = init_train_state(lora, tx)
+        out["optimizer_prep_s"] = round(time.time() - t0, 3)
+        step = make_lora_train_step(
+            args, tx, lcfg.scaling, compute_dtype=compute_dtype,
+            remat=seq_len > 256,
+        )
+        dt, state = _timed_steps(step, state, (params,), batch, steps)
     out["train_step_s"] = round(dt, 5)
     out["train_tokens_per_s"] = round(batch_size * seq_len / dt, 1)
     out.update(hbm_stats())
@@ -220,14 +251,16 @@ def run_stack_benchmark(
     out["gen_frames_per_s"] = round(gen_frames / gen_dt, 1)
     out["gen_rtf"] = round(gen_frames / 12.5 / gen_dt, 2)
 
-    # checkpoint I/O
+    # checkpoint I/O (model params, comparable across train modes)
     import tempfile
 
     from csm_tpu.training import checkpoint as ckpt
+    from csm_tpu.training.optimizer import TrainState
 
+    ck_state = TrainState(params=params, opt_state=None, step=jnp.int32(0))
     with tempfile.TemporaryDirectory() as d:
         t0 = time.time()
-        ckpt.save_checkpoint(d, "bench", state, args)
+        ckpt.save_checkpoint(d, "bench", ck_state, args)
         out["ckpt_save_s"] = round(time.time() - t0, 3)
         t0 = time.time()
         ckpt.load_checkpoint(os.path.join(d, "bench"))
