@@ -89,13 +89,6 @@ def main(argv=None) -> int:
     print("Loading model...")
     t0 = time.time()
     generator = build_generator(args)
-    if getattr(args, "tiny_test", False):
-        # the tiny fixture's context is 128 positions; clamp the default
-        # 10 s budget so it leaves room for the prompt (80 ms per frame)
-        limit_ms = (generator.max_seq_len - 64) * 80
-        if args.max_audio_length_ms > limit_ms:
-            print(f"--tiny-test: clamping --max-audio-length-ms to {limit_ms}")
-            args.max_audio_length_ms = limit_ms
     if not args.no_watermark:
         from csm_tpu.watermarking import load_watermarker, watermark
 
@@ -104,6 +97,28 @@ def main(argv=None) -> int:
     print(f"Model ready in {time.time() - t0:.1f}s")
 
     context = load_context(args, generator)
+    if getattr(args, "tiny_test", False):
+        # the tiny fixture's context is short (128 positions); clamp the
+        # default 10 s budget to what the ACTUAL prompt bucket leaves
+        # room for (80 ms per frame) instead of erroring
+        from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
+
+        tokens, _ = generator._build_prompt(args.text, speaker, context)
+        try:
+            bucket = bucket_length(
+                tokens.shape[0],
+                tuple(b for b in PROMPT_BUCKETS if b <= generator.max_seq_len),
+            )
+            limit_ms = (generator.max_seq_len - bucket) * 80
+        except ValueError:
+            limit_ms = 0
+        if limit_ms <= 0:
+            print(f"--tiny-test: prompt ({tokens.shape[0]} frames) fills the "
+                  f"tiny context; shorten --text", file=sys.stderr)
+            return 1
+        if args.max_audio_length_ms > limit_ms:
+            print(f"--tiny-test: clamping --max-audio-length-ms to {limit_ms}")
+            args.max_audio_length_ms = limit_ms
     print(f"Generating: {args.text!r} (speaker {speaker}, "
           f"{len(context)} context segments)")
     from csm_tpu.utils.observability import profile_trace

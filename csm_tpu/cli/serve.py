@@ -144,21 +144,41 @@ def load_requests(path: str):
     return reqs
 
 
-def _poll_stdin():
-    """Drain whatever complete lines stdin has RIGHT NOW (non-blocking).
+class _StdinPoller:
+    """Drain whatever COMPLETE lines stdin has right now, without blocking.
 
-    Returns (lines, eof)."""
-    import select
+    Reads the raw fd with os.read (never sys.stdin.readline: a multi-line
+    write() would land in Python's internal buffer where select() can't
+    see it, stranding every line after the first; and a partial line
+    would block the whole serving loop).  Partial trailing lines stay in
+    ``self.buf`` until their newline (or EOF) arrives."""
 
-    lines = []
-    while select.select([sys.stdin], [], [], 0.0)[0]:
-        line = sys.stdin.readline()
-        if line == "":
-            return lines, True
-        line = line.strip()
-        if line:
-            lines.append(line)
-    return lines, False
+    def __init__(self, fd: int = 0):
+        self.fd = fd
+        self.buf = b""
+        self.eof = False
+
+    def poll(self):
+        """Returns (lines, eof)."""
+        import select
+
+        while not self.eof and select.select([self.fd], [], [], 0.0)[0]:
+            chunk = os.read(self.fd, 65536)
+            if chunk == b"":
+                self.eof = True
+                break
+            self.buf += chunk
+        *complete, rest = self.buf.split(b"\n")
+        if self.eof and rest:
+            complete.append(rest)  # unterminated final line
+            rest = b""
+        self.buf = rest
+        lines = []
+        for raw in complete:
+            line = raw.decode("utf-8", errors="replace").strip()
+            if line:
+                lines.append(line)
+        return lines, self.eof
 
 
 def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
@@ -171,10 +191,11 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
     results = []
     eof = False
     n_seen = 0
+    poller = _StdinPoller()
     t0 = time.time()
     while True:
         if not eof:
-            lines, eof = _poll_stdin()
+            lines, eof = poller.poll()
             for line in lines:
                 try:
                     r = _json.loads(line)

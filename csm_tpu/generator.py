@@ -308,7 +308,6 @@ def _generator_streaming(
         audio = decoder.decode_chunk(new.T)
         return audio[: n * decoder.cfg.samples_per_frame]
 
-    spf = int(self.sample_rate / FRAME_RATE)  # 1920 samples per 80 ms frame
     decoded = 0  # frames already stream-decoded
     emitted_any = False
     result = None

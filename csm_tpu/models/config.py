@@ -69,6 +69,22 @@ def llama3_2_100M() -> TransformerConfig:
     )
 
 
+def llama3_2_300M() -> TransformerConfig:
+    """300M-class audio decoder for the 8B flavor
+    (docs/reference/sesame_csm/components.md:90: the Medium model's
+    decoder is ~300M parameters; its exact shape was never published, so
+    this keeps the released 100M decoder's width/head layout and deepens
+    it to 12 layers ≈ 330M params)."""
+    return TransformerConfig(
+        num_layers=12,
+        num_heads=8,
+        num_kv_heads=2,
+        embed_dim=1024,
+        intermediate_dim=8192,
+        max_seq_len=2048,
+    )
+
+
 def llama3_1_8B() -> TransformerConfig:
     """8B backbone flavor — the original Sesame CSM's internal scale
     (docs/reference/sesame_csm/components.md:8-10: 8B backbone + 300M
@@ -88,6 +104,7 @@ def llama3_1_8B() -> TransformerConfig:
 FLAVORS = {
     "llama-1B": llama3_2_1B,
     "llama-100M": llama3_2_100M,
+    "llama-300M": llama3_2_300M,
     "llama-8B": llama3_1_8B,
 }
 
@@ -170,12 +187,12 @@ def csm_1b_args(max_seq_len: int = 2048) -> ModelArgs:
 
 def csm_8b_args() -> ModelArgs:
     """The original Sesame CSM's internal scale: 8B backbone + 300M-class
-    decoder (docs/reference/sesame_csm/components.md:8-10).  Weights don't
-    fit one v5e chip beside KV caches — serve/train with ``model`` TP
-    (docs/architecture.md §serving-scale)."""
+    decoder (docs/reference/sesame_csm/components.md:8-10,90).  Weights
+    don't fit one v5e chip beside KV caches — serve/train with ``model``
+    TP (docs/architecture.md §serving-scale)."""
     return ModelArgs(
         backbone_flavor="llama-8B",
-        decoder_flavor="llama-100M",
+        decoder_flavor="llama-300M",
         text_vocab_size=128_256,
         audio_vocab_size=2051,
         audio_num_codebooks=32,

@@ -71,13 +71,25 @@ def initialize(
         or len(workers) > 1
         or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
     )
-    if multi_host:
+    if multi_host and not _already_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
     return jax.process_index(), jax.process_count()
+
+
+def _already_initialized() -> bool:
+    """jax.distributed.initialize raises if called twice; callers like
+    csm-finetune-lora-multi build one trainer per speaker and must be
+    able to call initialize() each time."""
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:
+        return False
 
 
 def hybrid_mesh(

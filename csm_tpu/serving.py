@@ -207,8 +207,6 @@ class BatchedServer:
         self.slot_request: List[Optional[StreamRequest]] = [None] * self.n_slots
         self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(self.n_slots)]
         self.slot_streamed = np.zeros(self.n_slots, np.int64)  # frames sent to on_frames
-        self.slot_pos = np.zeros(self.n_slots, np.int64)  # prompt length
-        self.slot_budget = np.zeros(self.n_slots, np.int64)
         self.active = np.zeros(self.n_slots, bool)
         self._step_count = 0
         self._base_key = jax.random.key(seed)
@@ -387,8 +385,6 @@ class BatchedServer:
         self.slot_request[slot] = req
         self.slot_frames[slot] = []
         self.slot_streamed[slot] = 0
-        self.slot_pos[slot] = T
-        self.slot_budget[slot] = req.max_frames
         self.active[slot] = True
         f0 = np.asarray(frame0)
         if np.all(f0 == 0) or req.max_frames < 1:  # immediate EOS / no budget

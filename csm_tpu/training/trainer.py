@@ -528,8 +528,10 @@ class CSMLoRATrainer(CSMTrainer):
         args = self.args
         sw, aw, cd = self.semantic_weight, self.acoustic_weight, self.compute_dtype
         pp = self.parallel is not None and self.parallel.pipeline_parallel > 1
+        sp = self.parallel is not None and self.parallel.seq_parallel > 1
         pp_mesh = self.mesh if pp else None
         pp_mb = self.parallel.pp_microbatches if pp else 1
+        seq_mesh = self.mesh if sp else None
 
         @jax.jit
         def eval_step(lora, key, batch):
@@ -538,6 +540,7 @@ class CSMLoRATrainer(CSMTrainer):
                 semantic_weight=sw, acoustic_weight=aw, compute_dtype=cd,
                 lora=lora, lora_scale=scaling,
                 pp_mesh=pp_mesh, pp_microbatches=pp_mb,
+                seq_mesh=seq_mesh,
             )
             return m
 

@@ -215,6 +215,37 @@ def test_serve_stream_matches_batch(tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_stdin_poller_multi_line_and_partial():
+    """--follow input handling: several JSONL lines arriving in ONE
+    write() must all surface immediately (buffered readline strands all
+    but the first), a partial trailing line must wait (not block), and
+    an unterminated final line must flush at EOF."""
+    import os as _os
+
+    from csm_tpu.cli.serve import _StdinPoller
+
+    r, w = _os.pipe()
+    try:
+        p = _StdinPoller(fd=r)
+        _os.write(w, b'{"id":"a"}\n{"id":"b"}\n{"id":"c"')
+        lines, eof = p.poll()
+        assert lines == ['{"id":"a"}', '{"id":"b"}'] and not eof
+        lines, eof = p.poll()  # partial line must not block or emit
+        assert lines == [] and not eof
+        _os.write(w, b'}\n')
+        lines, eof = p.poll()
+        assert lines == ['{"id":"c"}'] and not eof
+        _os.write(w, b'{"id":"d"}')  # unterminated, then EOF
+        _os.close(w)
+        w = None
+        lines, eof = p.poll()
+        assert lines == ['{"id":"d"}'] and eof
+    finally:
+        _os.close(r)
+        if w is not None:
+            _os.close(w)
+
+
 def test_serve_follow_admits_incrementally(tmp_path):
     """csm-serve --follow: requests piped to stdin are admitted as they
     arrive (daemon mode), each wav lands when its request finishes, and

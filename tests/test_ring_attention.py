@@ -6,35 +6,9 @@ Single-device ``gqa_attention`` is the oracle; the subprocess CPU mesh is
 the same environment the driver's ``dryrun_multichip`` uses.
 """
 
-import os
-import subprocess
-import sys
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _run_cpu8(code: str, timeout: int = 1800) -> str:
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON_"))
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        env=env,
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-    )
-    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
-    return proc.stdout
+from cpu_mesh import run_cpu8 as _run_cpu8
 
 
 @pytest.mark.multichip
