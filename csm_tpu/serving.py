@@ -164,9 +164,13 @@ class BatchedServer:
                 )
             self.params = shard_inference_params(params, mesh)
 
-        self._decode = self._build_decode()
+        self._decode = self._build_decode(self.n_slots)
         self._admit = self._build_admit()
         self._prefills: Dict[int, Callable] = {}
+        # live-slot compaction (single-device): decode variants + cache
+        # gather/scatter programs per power-of-two capacity, built lazily
+        self._decode_small: Dict[int, Callable] = {}
+        self._compactors: Dict[int, tuple] = {}
         self.reset()
 
     def _init_device_state(self):
@@ -217,9 +221,8 @@ class BatchedServer:
 
     # ---- compiled programs ----
 
-    def _build_decode(self):
+    def _build_decode(self, B: int):
         args, K = self.args, self.args.audio_num_codebooks
-        B = self.n_slots
         n_chunk = self.chunk_size
         step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
 
@@ -238,8 +241,10 @@ class BatchedServer:
                 slots emit a prefix of the chunk — they never pause).
 
             Still-idle-but-allocated slots run dead tokens at PAD_POS
-            (static shapes); their compute is the price of instant
-            admission, measured in BENCHMARKS.md §serving.
+            (static shapes).  On a single device, ``step()`` compacts the
+            LIVE slots into the smallest power-of-two decode variant
+            before dispatch, so mostly-idle servers don't pay full-batch
+            compute (see ``_compact_fns``).
             """
             key = jax.random.fold_in(base_key, step_idx)
             frames_buf = jnp.zeros((n_chunk, B, K), jnp.int32)
@@ -397,30 +402,129 @@ class BatchedServer:
                 self._notify(slot, done=False)  # stream the prefill frame
         return slot
 
+    def _compact_fns(self, c: int):
+        """Jitted gather/scatter between the full ``n_slots`` state and a
+        ``c``-slot working copy (c < n_slots).
+
+        The gather index vector is padded to length ``c`` with
+        ``n_slots`` (out of bounds): gathers clamp (the row is forced
+        dead), scatters drop — so padded rows never touch real slots.
+        The KV-cache copy is ~tens of MB per slot, ≪ one chunk's weight
+        reads; the payoff is that a 64-slot server with one live stream
+        decodes at the 1-slot rate instead of paying full-batch compute.
+        """
+        if c in self._compactors:
+            return self._compactors[c]
+        n = self.n_slots
+
+        def gather(state: csm.FrameState, slots: SlotState, idx):
+            t0 = lambda x: jnp.take(x, idx, axis=0, mode="clip")  # noqa: E731
+            t1 = lambda x: jnp.take(x, idx, axis=1, mode="clip")  # noqa: E731
+            sub_state = csm.FrameState(
+                cache=KVCache(t1(state.cache.k), t1(state.cache.v)),
+                offset=t0(state.offset),
+                kv_pos=t0(state.kv_pos),
+            )
+            sub_slots = SlotState(
+                last_frame=t0(slots.last_frame),
+                pos=t0(slots.pos),
+                live=t0(slots.live) & (idx < n),
+                remaining=t0(slots.remaining),
+            )
+            return sub_state, sub_slots
+
+        def scatter(state: csm.FrameState, slots: SlotState,
+                    sub_state: csm.FrameState, sub_slots: SlotState, idx):
+            p0 = lambda x, u: x.at[idx].set(u, mode="drop")  # noqa: E731
+            p1 = lambda x, u: x.at[:, idx].set(u, mode="drop")  # noqa: E731
+            state = csm.FrameState(
+                cache=KVCache(
+                    p1(state.cache.k, sub_state.cache.k),
+                    p1(state.cache.v, sub_state.cache.v),
+                ),
+                offset=p0(state.offset, sub_state.offset),
+                kv_pos=p0(state.kv_pos, sub_state.kv_pos),
+            )
+            slots = SlotState(
+                last_frame=p0(slots.last_frame, sub_slots.last_frame),
+                pos=p0(slots.pos, sub_slots.pos),
+                live=p0(slots.live, sub_slots.live),
+                remaining=p0(slots.remaining, sub_slots.remaining),
+            )
+            return state, slots
+
+        fns = (
+            jax.jit(gather),
+            # donate only the FULL buffers: the c-sized sub inputs can't
+            # back any n_slots-sized output (shape mismatch would just
+            # warn "donated buffers not usable" on every compile)
+            jax.jit(scatter, donate_argnums=(0, 1)),
+        )
+        self._compactors[c] = fns
+        return fns
+
+    def _decode_capacity(self, n_live: int) -> int:
+        """Smallest power-of-two decode batch that fits the live slots —
+        or ``n_slots`` (the uncompacted program) when compaction can't
+        at least halve the batch or a mesh pins slots to devices."""
+        if self.mesh is not None:
+            return self.n_slots
+        c = 1
+        while c < n_live:
+            c *= 2
+        return c if c <= self.n_slots // 2 else self.n_slots
+
     def step(self) -> List[StreamResult]:
         """Advance every active stream by up to one chunk of frames; returns
         finished streams.  EOS and budget exhaustion are detected on device
-        — the host does one dispatch and one gather per chunk."""
+        — the host does one dispatch and one gather per chunk.  When live
+        slots fill at most half the server, they are compacted into a
+        smaller decode program (idle slots cost nothing)."""
         done: List[StreamResult] = self._finished_at_submit
         self._finished_at_submit = []
         if not self.active.any():
             return done
         self._step_count += 1
-        frames, counts, self.slots, self.state = self._decode(
-            self.params, self._base_key, self._step_count,
-            self.state, self.slots, jnp.float32(self.temperature),
-        )
-        # ONE host gather for the whole chunk
-        f_host, counts_h, live_h = jax.device_get(
-            (frames, counts, self.slots.live)
-        )
-        for slot in np.nonzero(self.active)[0]:
+        live_idx = np.nonzero(self.active)[0]
+        c = self._decode_capacity(len(live_idx))
+        if c < self.n_slots:
+            idx = np.full((c,), self.n_slots, np.int32)
+            idx[: len(live_idx)] = live_idx
+            idx_dev = jnp.asarray(idx)
+            gather, scatter = self._compact_fns(c)
+            if c not in self._decode_small:
+                self._decode_small[c] = self._build_decode(c)
+            sub_state, sub_slots = gather(self.state, self.slots, idx_dev)
+            frames, counts, sub_slots, sub_state = self._decode_small[c](
+                self.params, self._base_key, self._step_count,
+                sub_state, sub_slots, jnp.float32(self.temperature),
+            )
+            # fetch BEFORE scatter: it donates the sub buffers
+            f_host, counts_h, live_h = jax.device_get(
+                (frames, counts, sub_slots.live)
+            )
+            self.state, self.slots = scatter(
+                self.state, self.slots, sub_state, sub_slots, idx_dev
+            )
+            row_of = {int(s): i for i, s in enumerate(live_idx)}
+        else:
+            frames, counts, self.slots, self.state = self._decode(
+                self.params, self._base_key, self._step_count,
+                self.state, self.slots, jnp.float32(self.temperature),
+            )
+            # ONE host gather for the whole chunk
+            f_host, counts_h, live_h = jax.device_get(
+                (frames, counts, self.slots.live)
+            )
+            row_of = {int(s): int(s) for s in live_idx}
+        for slot in live_idx:
             s = int(slot)
-            for t in range(int(counts_h[s])):
-                self.slot_frames[s].append(f_host[t, s])
-            if not live_h[s]:
+            r = row_of[s]
+            for t in range(int(counts_h[r])):
+                self.slot_frames[s].append(f_host[t, r])
+            if not live_h[r]:
                 done.append(self._finish(s))
-            elif counts_h[s]:
+            elif counts_h[r]:
                 self._notify(s, done=False)
         return done
 

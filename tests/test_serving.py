@@ -250,3 +250,49 @@ def test_streaming_callback_immediate_budget(tiny):
     results, _ = server.run([r])
     assert [c for c in calls if c[2]] == [(7, 1, True)]
     assert results[0].frames.shape[0] == 1
+
+
+def test_decode_capacity_selector(tiny):
+    """Compaction picks the smallest power-of-two batch that at least
+    halves the server; meshes disable it (slots are pinned to devices)."""
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=8, max_seq_len=128,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+    )
+    assert server._decode_capacity(1) == 1
+    assert server._decode_capacity(2) == 2
+    assert server._decode_capacity(3) == 4
+    assert server._decode_capacity(4) == 4
+    assert server._decode_capacity(5) == 8  # can't halve -> full program
+    assert server._decode_capacity(8) == 8
+
+
+def test_compacted_serving_matches_dedicated_server(tiny):
+    """A mostly-idle 8-slot server must produce BIT-IDENTICAL frames to a
+    right-sized server: with k live slots it runs the same k-batch decode
+    program with the same keys, so sampled (not just argmax) outputs
+    match.  Guards the gather/decode/scatter round-trip (idle-slot
+    compaction)."""
+    args, params = tiny
+
+    def serve(n_slots, reqs):
+        server = BatchedServer(
+            params, args, n_slots=n_slots, max_seq_len=128,
+            temperature=1.0, topk=8, compute_dtype=jnp.float32,
+        )
+        results, _ = server.run(list(reqs))
+        return {r.request_id: r.frames for r in results}
+
+    # one live request: 8-slot (compacts to 1) == dedicated 1-slot
+    req = [make_request(args, 6, rid=0, seed=5, max_frames=6)]
+    np.testing.assert_array_equal(serve(8, req)[0], serve(1, req)[0])
+
+    # two live requests: 8-slot (compacts to 2) == dedicated 2-slot
+    reqs = [
+        make_request(args, 6, rid=0, seed=6, max_frames=5),
+        make_request(args, 9, rid=1, seed=7, max_frames=5),
+    ]
+    a, b = serve(8, reqs), serve(2, reqs)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
