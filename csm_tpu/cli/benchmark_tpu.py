@@ -21,8 +21,14 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--full-size", action="store_true",
                    help="Benchmark CSM-1B instead of the tiny fixture")
+    p.add_argument("--param-dtype", choices=["f32", "bf16"], default="f32",
+                   help="Master-weight dtype: f32 (random init) or bf16 "
+                        "(fine-tuning from the released bf16 checkpoint — "
+                        "full-parameter AdamW then fits one chip)")
     p.add_argument("--output", type=str, default=None, help="JSON output path")
     args = p.parse_args(argv)
+
+    import jax.numpy as jnp
 
     from csm_tpu.models.config import csm_1b_args, tiny_test_args
     from csm_tpu.training.benchmarks import run_stack_benchmark
@@ -33,6 +39,7 @@ def main(argv=None) -> int:
         seq_len=args.seq_len,
         gen_frames=args.gen_frames,
         steps=args.steps,
+        param_dtype=jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32,
     )
     print(json.dumps(results, indent=2))
     if args.output:

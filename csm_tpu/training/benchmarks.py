@@ -164,22 +164,30 @@ def run_stack_benchmark(
     gen_frames: int = 25,
     steps: int = 5,
     compute_dtype=jnp.bfloat16,
+    param_dtype=jnp.float32,
 ) -> dict:
     """Timing of every stage of the stack
     (reference: run_mlx_benchmark.py:313-498).
 
     The train-step stage auto-selects full-parameter AdamW when the train
-    state fits the chip, else the LoRA step: CSM-1B full fine-tune needs
-    ~17.6 GB (f32 params + Adam moments + transient grads) — more than
+    state fits the chip, else the LoRA step: at f32 CSM-1B full fine-tune
+    needs ~17.6 GB (params + Adam moments + transient grads) — more than
     one 16 GB v5e; that case is what ``--fsdp`` / ``--pipeline-parallel``
-    exist for (docs/architecture.md)."""
+    exist for (docs/architecture.md).
+
+    ``param_dtype`` — master-weight dtype.  f32 matches random init; bf16
+    matches fine-tuning FROM the released bf16 checkpoint (the trainer
+    keeps the loaded dtype), where full-parameter AdamW fits one chip."""
     from csm_tpu.models.generation import generate_audio_tokens
 
     args = args or tiny_test_args()
-    out = {"device": str(jax.devices()[0])}
+    out = {
+        "device": str(jax.devices()[0]),
+        "param_dtype": str(jnp.dtype(param_dtype)),
+    }
 
     t0 = time.time()
-    params = jax.jit(lambda: init_csm_params(jax.random.key(0), args, jnp.float32))()
+    params = jax.jit(lambda: init_csm_params(jax.random.key(0), args, param_dtype))()
     jax.block_until_ready(params["audio_head"])
     out["model_init_s"] = round(time.time() - t0, 3)
 
@@ -212,7 +220,8 @@ def run_stack_benchmark(
         tx = make_optimizer(params, learning_rate=1e-4)
         state = init_train_state(jax.tree.map(jnp.array, params), tx)
         out["optimizer_prep_s"] = round(time.time() - t0, 3)
-        step = make_train_step(args, tx, compute_dtype=compute_dtype)
+        step = make_train_step(args, tx, compute_dtype=compute_dtype,
+                               remat=seq_len > 256)
         dt, state = _timed_steps(step, state, (), batch, steps)
     else:
         out["train_mode"] = (
