@@ -32,8 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Serve CSM TTS requests (TPU)")
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--mimi-path", type=str, default=None)
-    p.add_argument("--requests", type=str, required=True,
-                   help="JSONL file of requests ('-' = stdin)")
+    p.add_argument("--requests", type=str, default=None,
+                   help="JSONL file of requests ('-' = stdin); required "
+                        "unless --http")
     p.add_argument("--output-dir", type=str, default="served")
     p.add_argument("--n-slots", type=int, default=8,
                    help="Concurrent decode slots (HBM-bound; 64 fits CSM-1B "
@@ -55,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "batching admits each at the next frame boundary), "
                         "write each wav the moment its request finishes, "
                         "exit on stdin EOF once everything drains.")
+    p.add_argument("--http", type=str, default=None, metavar="[HOST:]PORT",
+                   help="HTTP daemon (stdlib, no extra deps): POST "
+                        "/generate with the same JSON schema as a request "
+                        "line returns audio/wav; concurrent requests share "
+                        "the continuous-batching decode. GET /health for "
+                        "stats; POST /shutdown for orderly exit. Default "
+                        "host 127.0.0.1.")
     p.add_argument("--stream", action="store_true",
                    help="Stream per-request audio while decoding: each "
                         "request's frames are Mimi-decoded incrementally "
@@ -236,6 +244,124 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
     return results, stats, wall
 
 
+def _serve_http(args, server, to_stream_request, finish_audio):
+    """HTTP daemon: handler threads enqueue requests and block on a
+    per-request event; the MAIN thread is the only one driving the
+    BatchedServer (admit at frame boundaries, decode chunks, fulfill
+    waiters with in-memory wav bytes).  Continuous batching means
+    concurrent POSTs decode together."""
+    import json as _json
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    host, _, port = args.http.rpartition(":")
+    host = host or "127.0.0.1"
+    inbox: "queue.Queue" = queue.Queue()
+    stop = threading.Event()
+    stats_box = {"served": 0, "frames": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet access log
+            pass
+
+        def _json_reply(self, code, obj):
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/health":
+                return self._json_reply(404, {"error": "GET /health only"})
+            self._json_reply(200, {
+                "status": "ok", "n_slots": server.n_slots,
+                "active": int(server.active.sum()), **stats_box,
+            })
+
+        def do_POST(self):
+            if self.path == "/shutdown":
+                stop.set()
+                return self._json_reply(200, {"status": "shutting down"})
+            if self.path != "/generate":
+                return self._json_reply(404, {"error": "POST /generate"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = _json.loads(self.rfile.read(n))
+            except ValueError as e:
+                return self._json_reply(400, {"error": f"bad JSON: {e}"})
+            done = threading.Event()
+            holder: dict = {}
+            inbox.put((req, done, holder))
+            done.wait()
+            if "error" in holder:
+                return self._json_reply(400, {"error": holder["error"]})
+            wav = holder["wav"]
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(wav)))
+            self.send_header("X-Frames", str(holder["frames"]))
+            self.end_headers()
+            self.wfile.write(wav)
+
+    httpd = ThreadingHTTPServer((host, int(port)), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    print(f"Serving on http://{host}:{port} (POST /generate, GET /health, "
+          f"POST /shutdown)", flush=True)
+
+    waiters = {}  # request_id -> (done_event, holder)
+    pending = []
+    n_seen = 0
+    t0 = time.time()
+    total_frames = 0
+    n_served = 0
+    while not (stop.is_set() and not pending and not server.active.any()
+               and inbox.empty()):
+        try:
+            req, done, holder = inbox.get(
+                timeout=0.02 if (pending or server.active.any()) else 0.25
+            )
+            try:
+                sr = to_stream_request(n_seen, req)
+                if sr is None:  # validation-rejected (e.g. prompt too long)
+                    holder["error"] = "request rejected (see server log)"
+                    done.set()
+            except (KeyError, ValueError, OSError) as e:
+                holder["error"] = repr(e)
+                done.set()
+                sr = None
+            if sr is not None:
+                sr.request_id = n_seen  # unique key even if ids collide
+                waiters[n_seen] = (done, holder)
+                pending.append(sr)
+            n_seen += 1
+        except queue.Empty:
+            pass
+        while pending and server.submit(pending[0]) is not None:
+            pending.pop(0)
+        for res in server.step():
+            done, holder = waiters.pop(res.request_id)
+            holder["wav"] = finish_audio(res)
+            holder["frames"] = res.frames.shape[0]
+            total_frames += res.frames.shape[0]
+            n_served += 1
+            stats_box["served"] = n_served
+            stats_box["frames"] = total_frames
+            done.set()
+    httpd.shutdown()
+    wall = time.time() - t0
+    stats = {
+        "total_frames": total_frames,
+        "frames_per_s": total_frames / max(wall, 1e-9),
+        "aggregate_rtf": total_frames / 12.5 / max(wall, 1e-9),
+    }
+    print(f"HTTP served {n_served} requests in {wall:.2f}s: "
+          f"{total_frames} frames")
+    return n_served, stats, wall
+
+
 def main(argv=None) -> int:
     from csm_tpu.cli.common import enable_compile_cache
 
@@ -243,12 +369,22 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from csm_tpu.serving import BatchedServer, StreamRequest
 
-    if args.follow:
+    if args.http:
+        if args.follow or args.stream:
+            print("--http is exclusive with --follow/--stream "
+                  "(HTTP responses are whole wav files)", file=sys.stderr)
+            return 2
+        raw = []
+        print(f"Loading model... (--http {args.http})")
+    elif args.follow:
         if args.requests != "-":
             print("--follow requires --requests - (stdin)", file=sys.stderr)
             return 2
         raw = []
         print("Loading model... (--follow: requests from stdin)")
+    elif args.requests is None:
+        print("--requests is required (or use --http)", file=sys.stderr)
+        return 2
     else:
         raw = load_requests(args.requests)
         if not raw:
@@ -350,6 +486,23 @@ def main(argv=None) -> int:
         print(f"  {out}: {res.frames.shape[0]} frames "
               f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s)")
 
+    if args.http:
+        from csm_tpu.data.audio import wav_bytes
+
+        def finish_audio(res):
+            audio = generator.mimi.decode(res.frames.T)
+            if wmark is not None and audio.shape[0]:
+                audio, _ = wmark(audio, generator.sample_rate)
+            return wav_bytes(audio, generator.sample_rate)
+
+        n_served, stats, wall = _serve_http(
+            args, server, to_stream_request, finish_audio
+        )
+        print(f"Served {n_served} requests in {wall:.2f}s: "
+              f"{stats['total_frames']} frames, "
+              f"aggregate RTF {stats['aggregate_rtf']:.2f} "
+              f"(weights {server.weight_dtype}, {args.n_slots} slots)")
+        return 0
     if args.follow:
         results, stats, wall = _serve_follow(
             args, server, to_stream_request, attach_sink, emit_result

@@ -77,6 +77,21 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
+def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float32 [-1, 1] → in-memory 16-bit PCM WAV (for HTTP serving)."""
+    import io
+
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resample (matches torchaudio.functional.resample class)."""
     if sr == target_sr:

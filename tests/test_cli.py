@@ -282,3 +282,91 @@ def test_serve_follow_admits_incrementally(tmp_path):
         audio, sr = load_wav(str(out / f"{rid}.wav"))
         assert sr == 24_000 and audio.shape[0] <= 5 * 1920
     assert "Served 2 requests" in stdout, stdout
+
+
+def test_serve_http_endpoint(tmp_path):
+    """csm-serve --http: concurrent POST /generate requests share the
+    continuous-batching decode and each gets a playable wav back;
+    /health reports stats; /shutdown exits cleanly."""
+    import io
+    import json as _json
+    import socket
+    import subprocess
+    import sys
+    import threading
+    import time as _time
+    import urllib.error
+    import urllib.request
+    import wave
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base = f"http://127.0.0.1:{port}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csm_tpu.cli.serve",
+         "--http", f"127.0.0.1:{port}", "--tiny-test", "--no-watermark",
+         "--n-slots", "2", "--chunk-size", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        for _ in range(600):  # model load + compile
+            _time.sleep(1)
+            assert proc.poll() is None, proc.communicate()[0]
+            try:
+                h = _json.loads(urllib.request.urlopen(
+                    base + "/health", timeout=2).read())
+                assert h["status"] == "ok" and h["n_slots"] == 2
+                break
+            except OSError:
+                continue
+        else:
+            raise AssertionError("server never became healthy")
+
+        results = {}
+
+        def post(name, text):
+            body = _json.dumps({"text": text,
+                                "max_audio_length_ms": 400}).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[name] = (r.status, r.headers["Content-Type"],
+                                 int(r.headers["X-Frames"]), r.read())
+
+        threads = [
+            threading.Thread(target=post, args=(n, f"request {n}"))
+            for n in ("a", "b")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=900)
+        assert set(results) == {"a", "b"}
+        for status, ctype, n_frames, wav in results.values():
+            assert status == 200 and ctype == "audio/wav"
+            assert 1 <= n_frames <= 5
+            with wave.open(io.BytesIO(wav)) as w:
+                assert w.getframerate() == 24_000
+                assert w.getnframes() == n_frames * 1920
+
+        # malformed request -> 400, server stays up
+        req = urllib.request.Request(
+            base + "/generate", data=b'{"no_text": 1}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
+        stdout = proc.communicate(timeout=120)[0]
+        assert proc.returncode == 0, stdout
+        assert "Served 2 requests" in stdout, stdout
+    finally:
+        if proc.poll() is None:
+            proc.kill()
