@@ -140,6 +140,49 @@ class _StreamSink:
             save_wav(self.out_path, audio, self.sample_rate)
 
 
+class _HttpStreamSink:
+    """``on_frames`` → incremental PCM chunks pushed to an HTTP handler.
+
+    The serving thread decodes fixed blocks through a per-request
+    carried-state Mimi decoder and enqueues s16le PCM; the handler thread
+    drains the queue into a close-delimited response — audio reaches the
+    client while the request is still decoding."""
+
+    def __init__(self, decoder, chunk):
+        import queue
+
+        self.decoder, self.chunk = decoder, max(1, chunk)
+        self.frames = []
+        self.decoded = 0
+        self.q: "queue.Queue" = queue.Queue()
+
+    def _push(self, n, pad_to=None):
+        import numpy as np
+
+        block = np.stack(self.frames[self.decoded : self.decoded + n])
+        if pad_to and block.shape[0] < pad_to:  # final remnant only
+            block = np.concatenate(
+                [block, np.zeros((pad_to - block.shape[0], block.shape[1]),
+                                 block.dtype)]
+            )
+        audio = np.asarray(self.decoder.decode_chunk(block.T), np.float32)
+        audio = audio[: n * self.decoder.cfg.samples_per_frame]
+        self.q.put(
+            np.clip(audio * 32767.0, -32768, 32767).astype("<i2").tobytes()
+        )
+        self.decoded += n
+
+    def __call__(self, rid, new, done):
+        self.frames.extend(new)
+        while len(self.frames) - self.decoded >= self.chunk:
+            self._push(self.chunk)
+        if done:
+            rem = len(self.frames) - self.decoded
+            if rem:
+                self._push(rem, pad_to=self.chunk)
+            self.q.put(None)
+
+
 def load_requests(path: str):
     f = sys.stdin if path == "-" else open(path)
     reqs = []
@@ -244,12 +287,17 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
     return results, stats, wall
 
 
-def _serve_http(args, server, to_stream_request, finish_audio):
+def _serve_http(args, server, to_stream_request, finish_audio,
+                make_stream_sink=None, sample_rate=24_000):
     """HTTP daemon: handler threads enqueue requests and block on a
     per-request event; the MAIN thread is the only one driving the
     BatchedServer (admit at frame boundaries, decode chunks, fulfill
     waiters with in-memory wav bytes).  Continuous batching means
-    concurrent POSTs decode together."""
+    concurrent POSTs decode together.
+
+    With ``make_stream_sink`` (``--stream``), responses are s16le PCM
+    streamed close-delimited as decode chunks complete — first audio
+    reaches the client while its request is still decoding."""
     import json as _json
     import queue
     import threading
@@ -298,6 +346,22 @@ def _serve_http(args, server, to_stream_request, finish_audio):
             done.wait()
             if "error" in holder:
                 return self._json_reply(400, {"error": holder["error"]})
+            if "pcm_queue" in holder:  # --stream: close-delimited PCM
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    f"audio/L16;rate={sample_rate};channels=1",
+                )
+                self.end_headers()
+                q = holder["pcm_queue"]
+                while True:
+                    chunk = q.get()
+                    if chunk is None:
+                        break
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+                self.close_connection = True
+                return
             wav = holder["wav"]
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -334,6 +398,11 @@ def _serve_http(args, server, to_stream_request, finish_audio):
                 sr = None
             if sr is not None:
                 sr.request_id = n_seen  # unique key even if ids collide
+                if make_stream_sink is not None:
+                    sink = make_stream_sink()
+                    sr.on_frames = sink
+                    holder["pcm_queue"] = sink.q
+                    done.set()  # handler starts streaming immediately
                 waiters[n_seen] = (done, holder)
                 pending.append(sr)
             n_seen += 1
@@ -343,13 +412,14 @@ def _serve_http(args, server, to_stream_request, finish_audio):
             pending.pop(0)
         for res in server.step():
             done, holder = waiters.pop(res.request_id)
-            holder["wav"] = finish_audio(res)
-            holder["frames"] = res.frames.shape[0]
+            if "pcm_queue" not in holder:  # streamed: sink already closed
+                holder["wav"] = finish_audio(res)
+                holder["frames"] = res.frames.shape[0]
+                done.set()
             total_frames += res.frames.shape[0]
             n_served += 1
             stats_box["served"] = n_served
             stats_box["frames"] = total_frames
-            done.set()
     httpd.shutdown()
     wall = time.time() - t0
     stats = {
@@ -370,12 +440,12 @@ def main(argv=None) -> int:
     from csm_tpu.serving import BatchedServer, StreamRequest
 
     if args.http:
-        if args.follow or args.stream:
-            print("--http is exclusive with --follow/--stream "
-                  "(HTTP responses are whole wav files)", file=sys.stderr)
+        if args.follow:
+            print("--http is exclusive with --follow", file=sys.stderr)
             return 2
         raw = []
-        print(f"Loading model... (--http {args.http})")
+        mode = " --stream (PCM streaming)" if args.stream else ""
+        print(f"Loading model... (--http {args.http}{mode})")
     elif args.follow:
         if args.requests != "-":
             print("--follow requires --requests - (stdin)", file=sys.stderr)
@@ -495,8 +565,14 @@ def main(argv=None) -> int:
                 audio, _ = wmark(audio, generator.sample_rate)
             return wav_bytes(audio, generator.sample_rate)
 
+        make_sink = None
+        if args.stream:
+            make_sink = lambda: _HttpStreamSink(  # noqa: E731
+                generator.mimi.stream_decoder(), args.chunk_size
+            )
         n_served, stats, wall = _serve_http(
-            args, server, to_stream_request, finish_audio
+            args, server, to_stream_request, finish_audio,
+            make_stream_sink=make_sink, sample_rate=generator.sample_rate,
         )
         print(f"Served {n_served} requests in {wall:.2f}s: "
               f"{stats['total_frames']} frames, "

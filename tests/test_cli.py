@@ -370,3 +370,66 @@ def test_serve_http_endpoint(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_serve_http_stream(tmp_path):
+    """csm-serve --http --stream: the response is s16le PCM streamed as
+    decode chunks complete (close-delimited), one 1920-sample frame per
+    80 ms of audio."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base = f"http://127.0.0.1:{port}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csm_tpu.cli.serve",
+         "--http", f"127.0.0.1:{port}", "--stream", "--tiny-test",
+         "--no-watermark", "--n-slots", "2", "--chunk-size", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        for _ in range(600):
+            _time.sleep(1)
+            assert proc.poll() is None, proc.communicate()[0]
+            try:
+                urllib.request.urlopen(base + "/health", timeout=2)
+                break
+            except OSError:
+                continue
+        else:
+            raise AssertionError("server never became healthy")
+
+        body = _json.dumps({"text": "stream me please",
+                            "max_audio_length_ms": 400}).encode()
+        req = urllib.request.Request(
+            base + "/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("audio/L16")
+            chunks = []
+            while True:
+                c = r.read(3840)
+                if not c:
+                    break
+                chunks.append(c)
+        pcm = b"".join(chunks)
+        frame_bytes = 1920 * 2
+        assert len(pcm) % frame_bytes == 0
+        assert 1 <= len(pcm) // frame_bytes <= 5
+        assert len(chunks) >= 1
+
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
+        stdout = proc.communicate(timeout=120)[0]
+        assert proc.returncode == 0, stdout
+    finally:
+        if proc.poll() is None:
+            proc.kill()
