@@ -75,28 +75,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-class _StreamSink:
-    """Incremental Mimi decode + wav write for ONE streamed request.
+class _ChunkedDecodeSink:
+    """Shared ``on_frames`` machinery: buffer token frames, stream-decode
+    fixed ``chunk``-frame blocks through a per-request carried-state Mimi
+    decoder (csm_tpu/codec/streaming.py), dispatch ASYNCHRONOUSLY (codec
+    decode overlaps the server's next token chunk), and hand each
+    (device_audio, keep_samples) pair to a subclass hook."""
 
-    Registered as the request's ``on_frames`` callback: buffers incoming
-    token frames, stream-decodes fixed ``chunk``-frame blocks through a
-    per-request carried-state decoder (csm_tpu/codec/streaming.py — two
-    compiled shapes total, shared across requests), and writes the wav the
-    moment the request finishes.
-    """
-
-    def __init__(self, rid, decoder, chunk, out_path, sample_rate, t0):
-        self.rid, self.decoder, self.chunk = rid, decoder, max(1, chunk)
-        self.out_path, self.sample_rate, self.t0 = out_path, sample_rate, t0
+    def __init__(self, decoder, chunk):
+        self.decoder, self.chunk = decoder, max(1, chunk)
         self.frames = []  # buffered (K,) token rows
         self.decoded = 0
-        self.audio = []
-        self.first_audio_s = None
-        self.done_s = None
 
     def _decode(self, n, pad_to=None):
         import numpy as np
-        import time as _t
 
         block = np.stack(self.frames[self.decoded : self.decoded + n])
         if pad_to and block.shape[0] < pad_to:  # final remnant only
@@ -104,24 +96,17 @@ class _StreamSink:
                 [block, np.zeros((pad_to - block.shape[0], block.shape[1]),
                                  block.dtype)]
             )
-        # async dispatch: codec decode overlaps the server's next token
-        # chunk; only the FIRST chunk blocks (it times first-audio) and
-        # the rest are fetched at wav-write time
         audio = self.decoder.decode_chunk_async(block.T)
-        self.audio.append((audio, n * self.decoder.cfg.samples_per_frame))
         self.decoded += n
-        if self.first_audio_s is None:
-            import jax
+        self._emit(audio, n * self.decoder.cfg.samples_per_frame)
 
-            jax.block_until_ready(audio)
-            self.first_audio_s = _t.time() - self.t0
+    def _emit(self, device_audio, keep):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _finish(self):
+        raise NotImplementedError
 
     def __call__(self, rid, new, done):
-        import numpy as np
-        import time as _t
-
-        from csm_tpu.data.audio import save_wav
-
         self.frames.extend(new)
         while len(self.frames) - self.decoded >= self.chunk:
             self._decode(self.chunk)
@@ -129,58 +114,77 @@ class _StreamSink:
             rem = len(self.frames) - self.decoded
             if rem:
                 self._decode(rem, pad_to=self.chunk)
-            self.done_s = _t.time() - self.t0
-            audio = (
-                np.concatenate(
-                    [np.asarray(a, np.float32)[:keep] for a, keep in self.audio]
-                )
-                if self.audio
-                else np.zeros(0, np.float32)
+            self._finish()
+
+
+class _StreamSink(_ChunkedDecodeSink):
+    """``--stream`` to disk: collect decoded chunks, time first audio,
+    write the wav the moment the request finishes.  Only the FIRST chunk
+    blocks (it times first-audio); the rest are fetched at wav-write
+    time."""
+
+    def __init__(self, rid, decoder, chunk, out_path, sample_rate, t0):
+        super().__init__(decoder, chunk)
+        self.rid = rid
+        self.out_path, self.sample_rate, self.t0 = out_path, sample_rate, t0
+        self.audio = []
+        self.first_audio_s = None
+        self.done_s = None
+
+    def _emit(self, device_audio, keep):
+        import time as _t
+
+        self.audio.append((device_audio, keep))
+        if self.first_audio_s is None:
+            import jax
+
+            jax.block_until_ready(device_audio)
+            self.first_audio_s = _t.time() - self.t0
+
+    def _finish(self):
+        import time as _t
+
+        import numpy as np
+
+        from csm_tpu.data.audio import save_wav
+
+        self.done_s = _t.time() - self.t0
+        audio = (
+            np.concatenate(
+                [np.asarray(a, np.float32)[:keep] for a, keep in self.audio]
             )
-            save_wav(self.out_path, audio, self.sample_rate)
+            if self.audio
+            else np.zeros(0, np.float32)
+        )
+        save_wav(self.out_path, audio, self.sample_rate)
 
 
-class _HttpStreamSink:
-    """``on_frames`` → incremental PCM chunks pushed to an HTTP handler.
-
-    The serving thread decodes fixed blocks through a per-request
-    carried-state Mimi decoder and enqueues s16le PCM; the handler thread
-    drains the queue into a close-delimited response — audio reaches the
-    client while the request is still decoding."""
+class _HttpStreamSink(_ChunkedDecodeSink):
+    """``--http --stream``: enqueue (device_audio, keep) pairs for the
+    HTTP handler thread, which converts to s16le PCM and writes a
+    close-delimited response — the serving thread never blocks on codec
+    decode, and audio reaches the client while the request is still
+    decoding."""
 
     def __init__(self, decoder, chunk):
         import queue
 
-        self.decoder, self.chunk = decoder, max(1, chunk)
-        self.frames = []
-        self.decoded = 0
+        super().__init__(decoder, chunk)
         self.q: "queue.Queue" = queue.Queue()
 
-    def _push(self, n, pad_to=None):
+    def _emit(self, device_audio, keep):
+        self.q.put((device_audio, keep))
+
+    def _finish(self):
+        self.q.put(None)
+
+    @staticmethod
+    def to_pcm(item) -> bytes:
         import numpy as np
 
-        block = np.stack(self.frames[self.decoded : self.decoded + n])
-        if pad_to and block.shape[0] < pad_to:  # final remnant only
-            block = np.concatenate(
-                [block, np.zeros((pad_to - block.shape[0], block.shape[1]),
-                                 block.dtype)]
-            )
-        audio = np.asarray(self.decoder.decode_chunk(block.T), np.float32)
-        audio = audio[: n * self.decoder.cfg.samples_per_frame]
-        self.q.put(
-            np.clip(audio * 32767.0, -32768, 32767).astype("<i2").tobytes()
-        )
-        self.decoded += n
-
-    def __call__(self, rid, new, done):
-        self.frames.extend(new)
-        while len(self.frames) - self.decoded >= self.chunk:
-            self._push(self.chunk)
-        if done:
-            rem = len(self.frames) - self.decoded
-            if rem:
-                self._push(rem, pad_to=self.chunk)
-            self.q.put(None)
+        device_audio, keep = item
+        audio = np.asarray(device_audio, np.float32)[:keep]
+        return np.clip(audio * 32767.0, -32768, 32767).astype("<i2").tobytes()
 
 
 def load_requests(path: str):
@@ -255,10 +259,11 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
                     continue
                 try:
                     sr = to_stream_request(n_seen, r)
-                except (KeyError, ValueError, OSError) as e:
-                    # a daemon must outlive one malformed request
-                    print(f"  bad request {r.get('id', n_seen)!r} skipped: "
-                          f"{e!r}", file=sys.stderr)
+                except Exception as e:
+                    # a daemon must outlive ANY malformed request
+                    rid = r.get("id", n_seen) if isinstance(r, dict) else n_seen
+                    print(f"  bad request {rid!r} skipped: {e!r}",
+                          file=sys.stderr)
                     sr = None
                 n_seen += 1
                 if sr is None:
@@ -310,6 +315,9 @@ def _serve_http(args, server, to_stream_request, finish_audio,
     stats_box = {"served": 0, "frames": 0}
 
     class Handler(BaseHTTPRequestHandler):
+        timeout = 120  # socket timeout: a stalled client can't pin a thread
+        max_body = 16 * 1024 * 1024  # request JSON cap (context is paths)
+
         def log_message(self, fmt, *a):  # quiet access log
             pass
 
@@ -337,9 +345,13 @@ def _serve_http(args, server, to_stream_request, finish_audio,
                 return self._json_reply(404, {"error": "POST /generate"})
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if not 0 <= n <= self.max_body:
+                    return self._json_reply(413, {"error": "body too large"})
                 req = _json.loads(self.rfile.read(n))
-            except ValueError as e:
-                return self._json_reply(400, {"error": f"bad JSON: {e}"})
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
+            except (ValueError, OSError) as e:
+                return self._json_reply(400, {"error": f"bad request: {e}"})
             done = threading.Event()
             holder: dict = {}
             inbox.put((req, done, holder))
@@ -355,10 +367,12 @@ def _serve_http(args, server, to_stream_request, finish_audio,
                 self.end_headers()
                 q = holder["pcm_queue"]
                 while True:
-                    chunk = q.get()
-                    if chunk is None:
+                    item = q.get()
+                    if item is None:
                         break
-                    self.wfile.write(chunk)
+                    # device→PCM conversion happens HERE, off the serving
+                    # thread — codec decode overlaps the next token chunk
+                    self.wfile.write(_HttpStreamSink.to_pcm(item))
                     self.wfile.flush()
                 self.close_connection = True
                 return
@@ -381,31 +395,39 @@ def _serve_http(args, server, to_stream_request, finish_audio,
     t0 = time.time()
     total_frames = 0
     n_served = 0
+    def admit(req, done, holder):
+        nonlocal n_seen
+        try:
+            sr = to_stream_request(n_seen, req)
+            if sr is None:  # validation-rejected (e.g. prompt too long)
+                holder["error"] = "request rejected (see server log)"
+                done.set()
+        except Exception as e:  # network-facing: a daemon must outlive
+            holder["error"] = repr(e)  # ANY malformed request
+            done.set()
+            sr = None
+        if sr is not None:
+            sr.request_id = n_seen  # unique key even if ids collide
+            if make_stream_sink is not None:
+                sink = make_stream_sink()
+                sr.on_frames = sink
+                holder["pcm_queue"] = sink.q
+                done.set()  # handler starts streaming immediately
+            waiters[n_seen] = (done, holder)
+            pending.append(sr)
+        n_seen += 1
+
     while not (stop.is_set() and not pending and not server.active.any()
                and inbox.empty()):
         try:
-            req, done, holder = inbox.get(
+            # block briefly for the first arrival, then DRAIN the inbox —
+            # k simultaneous clients admit into one k-slot decode, not
+            # one per chunk
+            admit(*inbox.get(
                 timeout=0.02 if (pending or server.active.any()) else 0.25
-            )
-            try:
-                sr = to_stream_request(n_seen, req)
-                if sr is None:  # validation-rejected (e.g. prompt too long)
-                    holder["error"] = "request rejected (see server log)"
-                    done.set()
-            except (KeyError, ValueError, OSError) as e:
-                holder["error"] = repr(e)
-                done.set()
-                sr = None
-            if sr is not None:
-                sr.request_id = n_seen  # unique key even if ids collide
-                if make_stream_sink is not None:
-                    sink = make_stream_sink()
-                    sr.on_frames = sink
-                    holder["pcm_queue"] = sink.q
-                    done.set()  # handler starts streaming immediately
-                waiters[n_seen] = (done, holder)
-                pending.append(sr)
-            n_seen += 1
+            ))
+            while True:
+                admit(*inbox.get_nowait())
         except queue.Empty:
             pass
         while pending and server.submit(pending[0]) is not None:
@@ -421,6 +443,15 @@ def _serve_http(args, server, to_stream_request, finish_audio,
             stats_box["served"] = n_served
             stats_box["frames"] = total_frames
     httpd.shutdown()
+    # close the shutdown race: a /generate that slipped into the inbox
+    # after the final emptiness check gets an error reply, not a hang
+    while True:
+        try:
+            _, done, holder = inbox.get_nowait()
+        except queue.Empty:
+            break
+        holder["error"] = "server shutting down"
+        done.set()
     wall = time.time() - t0
     stats = {
         "total_frames": total_frames,

@@ -68,17 +68,12 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     """Write mono float32 [-1, 1] as 16-bit PCM WAV."""
-    audio = np.asarray(audio, np.float32).reshape(-1)
-    pcm = np.clip(audio * 32767.0, -32768, 32767).astype("<i2")
-    with wave.open(path, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+    with open(path, "wb") as f:
+        f.write(wav_bytes(audio, sample_rate))
 
 
 def wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
-    """Mono float32 [-1, 1] → in-memory 16-bit PCM WAV (for HTTP serving)."""
+    """Mono float32 [-1, 1] → in-memory 16-bit PCM WAV."""
     import io
 
     audio = np.asarray(audio, np.float32).reshape(-1)

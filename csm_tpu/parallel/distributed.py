@@ -84,12 +84,11 @@ def _already_initialized() -> bool:
     """jax.distributed.initialize raises if called twice; callers like
     csm-finetune-lora-multi build one trainer per speaker and must be
     able to call initialize() each time."""
-    try:
-        from jax._src.distributed import global_state
+    if hasattr(jax.distributed, "is_initialized"):
+        return bool(jax.distributed.is_initialized())
+    from jax._src.distributed import global_state  # older jax
 
-        return global_state.client is not None
-    except Exception:
-        return False
+    return global_state.client is not None
 
 
 def hybrid_mesh(

@@ -40,7 +40,14 @@ for n_slots in (16, 32, 64):
             params, args, n_slots=n_slots, max_seq_len=1024,
             temperature=0.9, topk=50, chunk_size=8, weight_dtype="bf16",
         )
-        _ = server.run([req(999, max_frames=3) for _ in range(live)])  # warm
+        # warm BOTH programs (compacted and full-batch) so neither timed
+        # run pays first-compile
+        _ = server.run([req(999, max_frames=3) for _ in range(live)])
+        server.reset()
+        cap0 = server._decode_capacity
+        server._decode_capacity = lambda n: server.n_slots
+        _ = server.run([req(998, max_frames=3) for _ in range(live)])
+        server._decode_capacity = cap0
         server.reset()
         reqs = [req(i) for i in range(live)]
         t0 = time.time()
