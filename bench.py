@@ -9,6 +9,15 @@ frame generation (backbone step + 31 decoder steps + 32 samples per
 80 ms frame) + Mimi SEANet decode to 24 kHz waveform — with random
 weights (identical compute to trained weights).
 
+Timing hygiene for tunneled rigs (see csm_tpu/utils/transport.py):
+  * one big transport-warmup round-trip first, so no timed region pays
+    the first-small-fetch relay stall;
+  * device arrays are jit ARGUMENTS, never closures (a closed-over
+    device array becomes an MLIR constant fetched device->host at trace
+    time);
+  * every timed run ends with a host fetch of the result, so the timing
+    can't be fooled by an async queue that under-reports readiness.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -17,6 +26,8 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -39,12 +50,15 @@ def main():
     from csm_tpu.models import csm
     from csm_tpu.models.config import csm_1b_args
     from csm_tpu.models.generation import generate_audio_tokens
+    from csm_tpu.utils.transport import warm_transport
+
+    log(f"devices: {jax.devices()}")
+    warm_transport(verbose=True)
 
     args = csm_1b_args()
     dtype = jnp.bfloat16
     K = args.audio_num_codebooks
 
-    log(f"devices: {jax.devices()}")
     t0 = time.time()
     params = jax.jit(
         lambda k: csm.init_csm_params(k, args, dtype)
@@ -65,7 +79,7 @@ def main():
     lens = jnp.full((B,), S, jnp.int32)
 
     gen = jax.jit(
-        lambda p, k: generate_audio_tokens(
+        lambda p, k, tokens, mask, lens: generate_audio_tokens(
             p, args, k, tokens, mask, lens,
             max_frames=max_frames, temperature=0.9, topk=50,
             compute_dtype=dtype,
@@ -81,19 +95,21 @@ def main():
     )
 
     t0 = time.time()
-    res = gen(params, jax.random.key(2))
+    res = gen(params, jax.random.key(2), tokens, mask, lens)
     audio = dec(mimi_params, res.frames.transpose(0, 2, 1))
-    jax.block_until_ready(audio)
+    np.asarray(audio)  # fetch = proof of completion
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    # Timed runs.
+    # Timed runs (fetch the waveform each run so timing includes real
+    # completion, not just queue acceptance).
     n_runs, best = 3, float("inf")
     for i in range(n_runs):
         t0 = time.time()
-        res = gen(params, jax.random.key(3 + i))
+        res = gen(params, jax.random.key(3 + i), tokens, mask, lens)
         audio = dec(mimi_params, res.frames.transpose(0, 2, 1))
-        jax.block_until_ready(audio)
+        chk = float(np.asarray(jnp.sum(jnp.abs(audio))))  # device-reduced
         dt = time.time() - t0
+        assert np.isfinite(chk) and chk > 0.0, chk
         best = min(best, dt)
         log(f"run {i}: {dt:.3f}s ({max_frames / dt:.1f} frames/s)")
 

@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from csm_tpu.models.config import ModelArgs
 from csm_tpu.models.llama import transformer_apply, transformer_init
@@ -105,7 +106,10 @@ def masked_embed_sum(
 
 # Sentinel position for unwritten / padding cache slots: larger than any real
 # query position, so `kv_pos <= q_pos` (the causal mask) is always False.
-PAD_POS = jnp.int32(1 << 28)
+# Host scalar (NOT jnp): a module-level device array becomes an MLIR constant
+# whose value must be fetched device->host at every trace — pathologically
+# slow over a tunneled TPU transport.
+PAD_POS = np.int32(1 << 28)
 
 
 class FrameState(NamedTuple):

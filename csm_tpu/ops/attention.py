@@ -15,8 +15,12 @@ Equivalent of the reference's torchtune attention
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# Host scalar (NOT jnp): a module-level device array becomes an MLIR constant
+# whose value must be fetched device->host at every trace — pathologically
+# slow over a tunneled TPU transport.
+NEG_INF = np.float32(-1e30)
 
 
 def gqa_attention(

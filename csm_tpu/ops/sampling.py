@@ -22,8 +22,12 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# Host scalar (NOT jnp): a module-level device array becomes an MLIR constant
+# whose value must be fetched device->host at every trace — pathologically
+# slow over a tunneled TPU transport.
+NEG_INF = np.float32(-1e30)
 
 
 def topk_mask(logits: jnp.ndarray, topk: int) -> jnp.ndarray:
