@@ -25,6 +25,13 @@ def enable_compile_cache():
     except OSError:
         pass  # read-only home: run uncached
 
+    # Tunneled-TPU rigs: pay the relay's first-fetch stall on a background
+    # thread, overlapped with model load/compile, instead of mid-generation
+    # (csm_tpu/utils/transport.py).
+    from csm_tpu.utils.transport import warm_transport_async
+
+    warm_transport_async(verbose=bool(os.environ.get("CSM_TPU_DEBUG")))
+
 
 # Voice presets — part of the reference's user-facing API
 # (src/csm/cli/generate.py:14-25): named voices mapped to speaker IDs.

@@ -18,11 +18,13 @@ no-op (a few ms) on directly-attached TPUs and CPU.
 
 from __future__ import annotations
 
+import threading
 import time
 
 import numpy as np
 
 _WARMED = False
+_ASYNC_STARTED = False
 
 
 def warm_transport(verbose: bool = False) -> float:
@@ -48,3 +50,16 @@ def warm_transport(verbose: bool = False) -> float:
 
         print(f"transport warmup: {dt:.1f}s", file=sys.stderr, flush=True)
     return dt
+
+
+def warm_transport_async(verbose: bool = False) -> None:
+    """Run the warmup round-trip on a daemon thread so it overlaps model
+    loading / compilation (the stall is a blocking transfer; the GIL is
+    released while it waits).  CLIs call this first thing."""
+    global _ASYNC_STARTED
+    if _ASYNC_STARTED or _WARMED:
+        return
+    _ASYNC_STARTED = True
+    threading.Thread(
+        target=warm_transport, args=(verbose,), daemon=True
+    ).start()
