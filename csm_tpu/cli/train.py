@@ -48,6 +48,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--max-grad-norm", type=float, default=1.0)
     p.add_argument("--accumulation-steps", type=int, default=1)
+    p.add_argument("--grad-microbatches", type=int, default=1,
+                   help="Split each batch into M microbatches INSIDE the "
+                        "compiled step (activation memory / M at one extra "
+                        "grads-sized buffer; the 8B-fits-8-devices lever)")
+    p.add_argument("--param-dtype", choices=["f32", "bf16"], default="f32",
+                   help="Master-weight dtype (bf16: half the weight+grad "
+                        "HBM; part of the 8B recipe)")
+    p.add_argument("--mu-dtype", choices=["f32", "bf16"], default=None,
+                   help="Adam first-moment storage dtype (default: follows "
+                        "params; moment math is always f32)")
+    p.add_argument("--nu-dtype", choices=["f32", "bf16"], default=None,
+                   help="Adam second-moment storage dtype (keep f32 unless "
+                        "memory-bound: rsqrt(nu) amplifies quantization)")
     p.add_argument("--freeze-backbone", action="store_true")
     p.add_argument("--freeze-decoder", action="store_true")
     p.add_argument("--freeze-embeddings", action="store_true")
@@ -185,6 +198,7 @@ def main(argv=None) -> int:
             seq_parallel=args.seq_parallel,
         )
 
+    dt = {"f32": jnp.float32, "bf16": jnp.bfloat16, None: None}
     if args.tiny_test:
         import jax
 
@@ -205,6 +219,7 @@ def main(argv=None) -> int:
             compute_dtype=jnp.float32,
             remat=False,
             parallel=parallel,
+            param_dtype=dt[args.param_dtype],
         )
     else:
         trainer = CSMTrainer(
@@ -218,6 +233,7 @@ def main(argv=None) -> int:
             acoustic_weight=args.acoustic_weight,
             weight_decay=args.weight_decay,
             parallel=parallel,
+            param_dtype=dt[args.param_dtype],
         )
 
     text_tok, audio_tok = build_tokenizers(args, trainer.args)
@@ -232,6 +248,9 @@ def main(argv=None) -> int:
         freeze_embeddings=args.freeze_embeddings,
         max_grad_norm=args.max_grad_norm,
         accumulation_steps=args.accumulation_steps,
+        mu_dtype=dt[args.mu_dtype],
+        nu_dtype=dt[args.nu_dtype],
+        grad_microbatches=args.grad_microbatches,
     )
     loss = trainer.train(
         train_ds,

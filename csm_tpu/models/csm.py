@@ -82,25 +82,40 @@ def embed_audio(
     return params["audio_embeddings"][tokens + codebook * args.audio_vocab_size]
 
 
-def embed_tokens(params: dict, args: ModelArgs, tokens: jnp.ndarray) -> jnp.ndarray:
+def embed_tokens(
+    params: dict, args: ModelArgs, tokens: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
     """Embed a (B, S, K+1) token frame → (B, S, K+1, E)
     (reference: src/csm/models/model.py:206-216).
 
     Column layout: 0..K-1 audio codebooks, K = text.
+
+    ``dtype`` — cast the embedding TABLES before the gather, so the big
+    (B, S, K+1, E) gather output materializes at the compute dtype (half
+    the bytes for bf16 training) instead of the f32 master dtype.
     """
     K = args.audio_num_codebooks
-    text_embeds = params["text_embeddings"][tokens[:, :, -1]][:, :, None, :]
+    text_table = params["text_embeddings"]
+    audio_table = params["audio_embeddings"]
+    if dtype is not None:
+        text_table = text_table.astype(dtype)
+        audio_table = audio_table.astype(dtype)
+    text_embeds = text_table[tokens[:, :, -1]][:, :, None, :]
     offsets = args.audio_vocab_size * jnp.arange(K, dtype=tokens.dtype)
-    audio_embeds = params["audio_embeddings"][tokens[:, :, :K] + offsets]
+    audio_embeds = audio_table[tokens[:, :, :K] + offsets]
     return jnp.concatenate([audio_embeds, text_embeds], axis=-2)
 
 
 def masked_embed_sum(
-    params: dict, args: ModelArgs, tokens: jnp.ndarray, tokens_mask: jnp.ndarray
+    params: dict,
+    args: ModelArgs,
+    tokens: jnp.ndarray,
+    tokens_mask: jnp.ndarray,
+    dtype=None,
 ) -> jnp.ndarray:
     """Embed + mask + sum over the frame columns → (B, S, E)
     (reference: src/csm/models/model.py:166-168)."""
-    embeds = embed_tokens(params, args, tokens)
+    embeds = embed_tokens(params, args, tokens, dtype=dtype)
     return jnp.sum(embeds * tokens_mask[..., None].astype(embeds.dtype), axis=2)
 
 

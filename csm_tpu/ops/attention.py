@@ -14,6 +14,7 @@ Equivalent of the reference's torchtune attention
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,50 @@ def gqa_attention(
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     out = jnp.einsum("bskgt,btkd->bskgd", probs, vf)
     return out.reshape(B, S, Hq, D).astype(q.dtype)
+
+
+def chunked_gqa_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_pos: jnp.ndarray,
+    kv_pos: jnp.ndarray,
+    block_q: int = 256,
+) -> jnp.ndarray:
+    """Flash-pattern attention in pure XLA: scan over query blocks.
+
+    Peak memory is O(block_q * T) scores per block instead of O(S * T) —
+    the non-Pallas training fallback (CPU meshes, ``CSM_TPU_NO_FLASH``).
+    ``jax.checkpoint`` on the block body keeps the backward at the same
+    O(block_q * T): scores are recomputed per block, never stacked.
+
+    Numerically identical to ``gqa_attention`` with
+    ``causal_mask_from_positions(q_pos, kv_pos)`` (same ops, blockwise).
+    """
+    B, S, Hq, D = q.shape
+    if kv_pos.ndim == 1:
+        kv_pos = jnp.broadcast_to(kv_pos[None, :], (B, kv_pos.shape[0]))
+    BQ = min(block_q, S)
+    pad = (-S) % BQ
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # padded rows attend nothing (finite NEG_INF keeps them NaN-free);
+        # their outputs are sliced away below
+        q_pos = jnp.pad(q_pos, ((0, 0), (0, pad)), constant_values=-1)
+    n = (S + pad) // BQ
+
+    qb = q.reshape(B, n, BQ, Hq, D).transpose(1, 0, 2, 3, 4)
+    pb = q_pos.reshape(B, n, BQ).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def body(carry, x):
+        qi, pi = x
+        mask = kv_pos[:, None, :] <= pi[:, :, None]
+        return carry, gqa_attention(qi, k, v, mask)
+
+    _, ob = jax.lax.scan(body, None, (qb, pb))
+    out = ob.transpose(1, 0, 2, 3, 4).reshape(B, S + pad, Hq, D)
+    return out[:, :S]
 
 
 def causal_mask_from_positions(

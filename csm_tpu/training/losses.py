@@ -123,8 +123,11 @@ def compute_loss(
     from csm_tpu.ops.flash_attention import use_flash
 
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    h = csm.masked_embed_sum(params, args, batch.tokens, batch.tokens_mask)
-    h = h.astype(compute_dtype)
+    # tables cast BEFORE the gather: the (B, T, 33, E) gather output is the
+    # biggest training activation — bf16 halves it (8B-fits lever)
+    h = csm.masked_embed_sum(
+        params, args, batch.tokens, batch.tokens_mask, dtype=compute_dtype
+    )
     attn_impl = None
     if pp_mesh is not None:
         if seq_mesh is not None:
@@ -150,6 +153,15 @@ def compute_loss(
             )
         elif use_flash(T):
             mask, flash_pos = None, (positions, positions[0])
+        elif T >= 512:
+            # non-Pallas backends (CPU meshes, CSM_TPU_NO_FLASH): the
+            # flash pattern in pure XLA — O(block*T) scores, not O(T^2)
+            from csm_tpu.ops.attention import chunked_gqa_attention
+
+            mask, flash_pos = None, None
+            attn_impl = lambda q, k, v: chunked_gqa_attention(  # noqa: E731
+                q, k, v, positions, positions[0]
+            )
         else:
             mask, flash_pos = causal_mask_from_positions(positions, positions[0]), None
         h, _ = transformer_apply(
@@ -204,9 +216,9 @@ def _loss_from_backbone_out(
     # K positions; output j>=1 predicts codebook j via audio_head[j-1]
     # (mirrors the generate_frame inner loop, src/csm/models/model.py:176-193).
     cb_idx = jnp.arange(K - 1)
-    cb_embeds = params["audio_embeddings"][
+    cb_embeds = params["audio_embeddings"].astype(compute_dtype)[
         tgt_flat[:, : K - 1] + cb_idx[None, :] * args.audio_vocab_size
-    ]  # (n_sub, K-1, E_b)
+    ]  # (n_sub, K-1, E_b) at compute dtype (table cast before gather)
     dec_in = jnp.concatenate(
         [h_flat[:, None, :].astype(cb_embeds.dtype), cb_embeds], axis=1
     )  # (n_sub, K, E_b)

@@ -27,6 +27,93 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # scalar int32 optimizer-step counter
 
 
+class ScaleByAdamDtypeState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_dtypes(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with EXPLICIT dtypes for both moments.
+
+    optax only exposes ``mu_dtype``; ``nu`` silently follows the param
+    dtype — which is exactly wrong for the two memory policies that
+    matter at 8B scale:
+
+      * bf16 master weights + f32 moments (recommended: update math stays
+        f32; only the stored weight rounds) — optax would give bf16 nu;
+      * f32 master + bf16 moments (aggressive) — optax can't shrink nu.
+
+    Moment math runs in f32 regardless of storage dtype.
+    """
+
+    def cast(x, dt):
+        return x.astype(dt) if dt is not None else x
+
+    def init(params):
+        return ScaleByAdamDtypeState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(lambda p: jnp.zeros(p.shape, mu_dtype or p.dtype), params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, nu_dtype or p.dtype), params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        bc1 = 1.0 - b1**count.astype(jnp.float32)
+        bc2 = 1.0 - b2**count.astype(jnp.float32)
+
+        # three passes (XLA CSEs the shared moment math); plain tree.map
+        # skips optax.MaskedNode subtrees under multi_transform
+        def new_mu(g, mu):
+            return (
+                b1 * mu.astype(jnp.float32) + (1.0 - b1) * g.astype(jnp.float32)
+            ).astype(mu.dtype)
+
+        def new_nu(g, nu):
+            gf = g.astype(jnp.float32)
+            return (b2 * nu.astype(jnp.float32) + (1.0 - b2) * gf * gf).astype(
+                nu.dtype
+            )
+
+        mu = jax.tree.map(new_mu, grads, state.mu)
+        nu = jax.tree.map(new_nu, grads, state.nu)
+
+        def upd(g, m, n):
+            u = (m.astype(jnp.float32) / bc1) / (
+                jnp.sqrt(n.astype(jnp.float32) / bc2) + eps
+            )
+            return u.astype(g.dtype)
+
+        updates = jax.tree.map(upd, grads, mu, nu)
+        return updates, ScaleByAdamDtypeState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def adamw_dtypes(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """AdamW with explicit moment dtypes (see scale_by_adam_dtypes)."""
+    chain = [scale_by_adam_dtypes(b1, b2, eps, mu_dtype, nu_dtype)]
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale(-learning_rate))
+    return optax.chain(*chain)
+
+
 # Reference multipliers (src/csm/training/trainer.py:123-173).
 DEFAULT_LR_MULTIPLIERS = {
     "backbone": 0.1,
@@ -82,20 +169,31 @@ def make_optimizer(
     accumulation_steps: int = 1,
     b1: float = 0.9,
     b2: float = 0.999,
+    mu_dtype=None,
+    nu_dtype=None,
 ) -> optax.GradientTransformation:
     """Build the CSM training optimizer.
 
     One AdamW per LR group via multi_transform; global-norm clipping
     applied to the raw gradients (reference:
     src/csm/training/trainer.py:271-274).
+
+    ``mu_dtype`` / ``nu_dtype`` — storage dtypes of the Adam moments
+    (moment MATH always runs in f32; see scale_by_adam_dtypes).  The
+    8B-on-8-devices recipe (XLA-verified at 14.2 GiB/device by
+    __graft_entry__._compile_8b_fullsize): bf16 master weights +
+    bf16 mu + f32 nu + bf16 grads + in-step microbatching.  nu stays f32
+    because rsqrt(nu) amplifies quantization error at small magnitudes;
+    mu is a running mean of gradients and tolerates bf16.
     """
     mults = dict(DEFAULT_LR_MULTIPLIERS)
     if lr_multipliers:
         mults.update(lr_multipliers)
 
     transforms = {
-        comp: optax.adamw(
-            learning_rate * m, b1=b1, b2=b2, weight_decay=weight_decay
+        comp: adamw_dtypes(
+            learning_rate * m, b1=b1, b2=b2, weight_decay=weight_decay,
+            mu_dtype=mu_dtype, nu_dtype=nu_dtype,
         )
         for comp, m in mults.items()
     }

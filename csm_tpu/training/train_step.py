@@ -37,6 +37,7 @@ def make_train_step(
     seq_mesh=None,
     pp_mesh=None,
     pp_microbatches: int = 1,
+    grad_microbatches: int = 1,
 ) -> Callable:
     """Returns jitted ``step(state, key, batch) -> (state, metrics)``.
 
@@ -46,7 +47,15 @@ def make_train_step(
 
     ``pp_mesh`` — optional mesh with a ``pipe`` axis for pipeline-parallel
     training (csm_tpu/parallel/pipeline.py; place params with
-    ``shard_params_pp`` and the batch over ``data``)."""
+    ``shard_params_pp`` and the batch over ``data``).
+
+    ``grad_microbatches`` — split the batch into M microbatches INSIDE the
+    compiled step (``lax.scan``), accumulating gradients: peak activation
+    memory drops ~M× at one extra grads-sized buffer.  This is the
+    memory lever that fits 8B full-parameter training on 8×16 GiB devices
+    (see __graft_entry__._compile_8b_fullsize); semantics match
+    ``optax.MultiSteps`` (mean of per-microbatch gradients) without its
+    persistent accumulator state.  Must divide the batch dim."""
 
     def loss_fn(params, key, batch):
         return compute_loss(
@@ -66,8 +75,8 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, key: jax.Array, batch: Batch):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, batch
+        (_, metrics), grads = _accumulated_grads(
+            loss_fn, state.params, key, batch, grad_microbatches
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -75,6 +84,43 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
+
+
+def _accumulated_grads(loss_fn, params, key, batch, n_micro: int):
+    """value_and_grad over the whole batch, or a compiled scan over
+    ``n_micro`` microbatch slices accumulating (mean) grads and metrics.
+    Count-style metrics (num_*) sum; the rest average."""
+    if n_micro <= 1:
+        return jax.value_and_grad(loss_fn, has_aux=True)(params, key, batch)
+
+    B = batch.tokens.shape[0]
+    if B % n_micro:
+        raise ValueError(f"batch dim {B} not divisible by {n_micro} microbatches")
+    micro = jax.tree.map(
+        lambda x: x.reshape((n_micro, B // n_micro) + x.shape[1:]), batch
+    )
+    keys = jax.random.split(key, n_micro)
+
+    def body(acc, x):
+        k_i, b_i = x
+        (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(params, k_i, b_i)
+        g_acc, m_acc = acc
+        g_acc = jax.tree.map(jnp.add, g_acc, g)
+        m_acc = {k: m_acc[k] + m[k] for k in m_acc}
+        return (g_acc, m_acc), None
+
+    g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype), params)
+    m_shapes = jax.eval_shape(
+        lambda p, k, b: loss_fn(p, k, b)[1], params, keys[0],
+        jax.tree.map(lambda x: x[0], micro),
+    )
+    m0 = {k: jnp.zeros(v.shape, v.dtype) for k, v in m_shapes.items()}
+    (g_sum, m_sum), _ = jax.lax.scan(body, (g0, m0), (keys, micro))
+    grads = jax.tree.map(lambda g: g / n_micro, g_sum)
+    metrics = {
+        k: (v if k.startswith("num_") else v / n_micro) for k, v in m_sum.items()
+    }
+    return (None, metrics), grads
 
 
 def make_lora_train_step(

@@ -80,6 +80,7 @@ class CSMTrainer:
         remat: bool = True,
         log_file: Optional[str] = None,
         parallel: Optional["ParallelConfig"] = None,
+        param_dtype=jnp.float32,
     ):
         """``parallel`` — optional csm_tpu.parallel.mesh.ParallelConfig:
         shard the train state over a device mesh (TP+FSDP on a
@@ -112,8 +113,15 @@ class CSMTrainer:
         self.weight_decay = weight_decay
         self.compute_dtype = compute_dtype
         self.remat = remat
+        self.param_dtype = param_dtype
 
         self.args, self.params = self._load_model(model_path, args, params)
+        if param_dtype != jnp.float32:
+            # bf16 master weights (the 8B-scale memory recipe; gradient
+            # dtype follows — see csm_tpu/training/optimizer.py)
+            self.params = jax.tree.map(
+                lambda x: x.astype(param_dtype), self.params
+            )
         self.tx = None
         self.state: Optional[TrainState] = None
         self.epoch = 0
@@ -158,6 +166,9 @@ class CSMTrainer:
         freeze_embeddings: bool = False,
         max_grad_norm: float = 1.0,
         accumulation_steps: int = 1,
+        mu_dtype=None,
+        nu_dtype=None,
+        grad_microbatches: int = 1,
     ):
         self.params = self._place_params(self.params)
         self.tx = make_optimizer(
@@ -170,6 +181,8 @@ class CSMTrainer:
             freeze_decoder=freeze_decoder,
             freeze_embeddings=freeze_embeddings,
             accumulation_steps=accumulation_steps,
+            mu_dtype=mu_dtype,
+            nu_dtype=nu_dtype,
         )
         self.state = self._init_state(self.params)
         pp = self.parallel is not None and self.parallel.pipeline_parallel > 1
@@ -184,6 +197,7 @@ class CSMTrainer:
             pp_mesh=self.mesh if pp else None,
             pp_microbatches=self.parallel.pp_microbatches if pp else 1,
             seq_mesh=self.mesh if sp else None,
+            grad_microbatches=grad_microbatches,
         )
         self._eval_fn = make_eval_step(
             self.args,

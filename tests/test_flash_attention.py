@@ -231,3 +231,33 @@ def test_generation_prefill_flash_equals_xla(monkeypatch):
     monkeypatch.setenv("CSM_TPU_NO_FLASH", "1")
     xla_frames = gen()
     np.testing.assert_array_equal(flash_frames, xla_frames)
+
+
+def test_chunked_attention_matches_dense():
+    """chunked_gqa_attention (the non-Pallas flash-pattern fallback in
+    training/losses.py) == gqa_attention + causal mask, fwd AND grads,
+    including the pad path (S not a multiple of block_q)."""
+    from csm_tpu.ops.attention import chunked_gqa_attention
+
+    rng = np.random.default_rng(7)
+    B, S, Hq, Hkv, D = 2, 19, 4, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+    ref = gqa_attention(q, k, v, causal_mask_from_positions(pos, pos[0]))
+    out = chunked_gqa_attention(q, k, v, pos, pos[0], block_q=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def f_ref(q, k, v):
+        m = causal_mask_from_positions(pos, pos[0])
+        return jnp.sum(gqa_attention(q, k, v, m) ** 2)
+
+    def f_chk(q, k, v):
+        return jnp.sum(chunked_gqa_attention(q, k, v, pos, pos[0], block_q=8) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_chk = jax.grad(f_chk, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_chk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

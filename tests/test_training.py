@@ -177,3 +177,119 @@ def test_gradient_accumulation(tiny):
     np.testing.assert_array_equal(np.asarray(state.params["decoder"]["wq"]), before)
     state, _ = step(state, jax.random.key(1), batch)  # micro-step 2: update
     assert not np.array_equal(np.asarray(state.params["decoder"]["wq"]), before)
+
+
+def test_grad_microbatches_exact_semantics(tiny):
+    """_accumulated_grads(n_micro=2) == mean of per-microbatch
+    value_and_grad with the same split keys (the optax.MultiSteps
+    contract, computed in one compiled scan)."""
+    from csm_tpu.training.train_step import _accumulated_grads
+
+    args, params = tiny
+    batch = make_batch(args, B=4, T=8)
+
+    def loss_fn(p, key, b):
+        return compute_loss(p, args, key, b, compute_dtype=jnp.float32)
+
+    key = jax.random.key(3)
+    (_, metrics), grads = _accumulated_grads(loss_fn, params, key, batch, 2)
+
+    keys = jax.random.split(key, 2)
+    halves = jax.tree.map(lambda x: x.reshape((2, 2) + x.shape[1:]), batch)
+    g_exp = None
+    for i in range(2):
+        b_i = jax.tree.map(lambda x: x[i], halves)
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(params, keys[i], b_i)
+        g_exp = g if g_exp is None else jax.tree.map(jnp.add, g_exp, g)
+    g_exp = jax.tree.map(lambda x: x / 2, g_exp)
+
+    flat_a, _ = jax.tree_util.tree_flatten(grads)
+    flat_b, _ = jax.tree_util.tree_flatten(g_exp)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_grad_microbatches_runs(tiny):
+    """A full jitted step with in-step microbatching updates params and
+    reports finite metrics."""
+    args, _ = tiny
+    params = init_csm_params(jax.random.key(9), args, jnp.float32)
+    batch = make_batch(args, B=4, T=8)
+    tx = make_optimizer(params, learning_rate=1e-3)
+    state = init_train_state(jax.tree.map(jnp.array, params), tx)
+    step = make_train_step(args, tx, compute_dtype=jnp.float32, grad_microbatches=2)
+    before = np.asarray(params["decoder"]["wq"]).copy()
+    state, metrics = step(state, jax.random.key(0), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.array_equal(np.asarray(state.params["decoder"]["wq"]), before)
+
+
+def test_adamw_dtypes_matches_optax():
+    """adamw_dtypes at all-f32 == optax.adamw; moment storage dtypes are
+    honored when requested (the 8B bf16-master recipe)."""
+    from csm_tpu.training.optimizer import adamw_dtypes
+
+    rng = np.random.default_rng(0)
+    params = {
+        "a": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((5,)), jnp.float32),
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32), params
+    )
+
+    import optax
+
+    tx_ref = optax.adamw(1e-3, weight_decay=0.01)
+    tx_new = adamw_dtypes(1e-3, weight_decay=0.01)
+    s_ref, s_new = tx_ref.init(params), tx_new.init(params)
+    p_ref, p_new = params, params
+    for i in range(3):
+        g = jax.tree.map(lambda x: x * (i + 1), grads)
+        u_ref, s_ref = tx_ref.update(g, s_ref, p_ref)
+        u_new, s_new = tx_new.update(g, s_new, p_new)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_new = optax.apply_updates(p_new, u_new)
+    for a, b in zip(jax.tree.leaves(p_new), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # dtype policy: bf16 params, bf16 mu, f32 nu
+    p16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    tx16 = adamw_dtypes(1e-3, mu_dtype=jnp.bfloat16, nu_dtype=jnp.float32)
+    s16 = tx16.init(p16)
+    adam_state = next(
+        s for s in jax.tree_util.tree_leaves(
+            s16, is_leaf=lambda x: hasattr(x, "mu")
+        ) if hasattr(x := s, "mu")
+    )
+    assert all(m.dtype == jnp.bfloat16 for m in jax.tree.leaves(adam_state.mu))
+    assert all(n.dtype == jnp.float32 for n in jax.tree.leaves(adam_state.nu))
+    g16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), grads)
+    u16, _ = tx16.update(g16, s16, p16)
+    assert all(u.dtype == jnp.bfloat16 for u in jax.tree.leaves(u16))
+
+
+def test_bf16_master_weights_step(tiny):
+    """The full 8B-recipe dtype policy at tiny scale: bf16 master weights,
+    bf16 mu / f32 nu, microbatched grads — one step keeps dtypes and
+    yields a finite loss."""
+    args, _ = tiny
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16),
+        init_csm_params(jax.random.key(11), args, jnp.float32),
+    )
+    batch = make_batch(args, B=4, T=8)
+    tx = make_optimizer(
+        params, learning_rate=1e-3,
+        mu_dtype=jnp.bfloat16, nu_dtype=jnp.float32,
+    )
+    state = init_train_state(params, tx)
+    step = make_train_step(
+        args, tx, compute_dtype=jnp.bfloat16, grad_microbatches=2
+    )
+    state, metrics = step(state, jax.random.key(0), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(
+        p.dtype == jnp.bfloat16 for p in jax.tree.leaves(state.params)
+    )
