@@ -148,4 +148,5 @@ def build_generator(args, compute_dtype=None):
         mimi_path=getattr(args, "mimi_path", None),
         compute_dtype=dtype,
         quantize=getattr(args, "int8", False),
+        kv_int8=getattr(args, "kv_int8", False),
     )

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only quantization (~1.6x faster decode)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache (quantize at write; halves the "
+                        "decode-time cache HBM stream)")
     p.add_argument("--no-watermark", action="store_true",
                    help="Skip watermarking the generated audio")
     p.add_argument("--watermark-ckpt", type=str, default=None,

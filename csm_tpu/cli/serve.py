@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--chunk-size", type=int, default=8,
                    help="Decode frames per host round-trip")
+    p.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
+                   help="KV-cache storage: int8 quantizes K/V at write "
+                        "(half the decode cache HBM stream, 2x slot "
+                        "capacity per GiB)")
     p.add_argument("--weight-dtype", choices=("bf16", "int8", "auto"),
                    default="bf16",
                    help="int8 halves weight reads (faster at every measured "
@@ -63,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the continuous-batching decode. GET /health for "
                         "stats; POST /shutdown for orderly exit. Default "
                         "host 127.0.0.1.")
+    p.add_argument("--http-queue", type=int, default=64,
+                   help="Admission-queue bound for --http: requests beyond "
+                        "n_slots active + this many queued get an immediate "
+                        "503 instead of unbounded buffering (backpressure; "
+                        "0 = unbounded).")
     p.add_argument("--stream", action="store_true",
                    help="Stream per-request audio while decoding: each "
                         "request's frames are Mimi-decoded incrementally "
@@ -243,9 +252,11 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
     import json as _json
 
     pending = []
-    results = []
+    n_served = 0
+    total_frames = 0  # counts only: a daemon must not retain results
     eof = False
     n_seen = 0
+    in_flight = set()  # request ids (duplicate-id guard)
     poller = _StdinPoller()
     t0 = time.time()
     while True:
@@ -268,6 +279,13 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
                 n_seen += 1
                 if sr is None:
                     continue
+                if sr.request_id in in_flight:
+                    # two in-flight requests with one id would share a sink
+                    # and a wav path; reject the latecomer loudly
+                    print(f"  duplicate in-flight id {sr.request_id!r} "
+                          f"rejected", file=sys.stderr)
+                    continue
+                in_flight.add(sr.request_id)
                 if args.stream:
                     attach_sink(sr, time.time())  # latency from ARRIVAL
                 pending.append(sr)
@@ -276,43 +294,34 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
         done = server.step()
         for res in done:
             emit_result(res)
-            results.append(res)
+            in_flight.discard(res.request_id)
+            n_served += 1
+            total_frames += res.n_steps
         idle = not server.active.any() and not pending
         if idle:
             if eof:
                 break
             time.sleep(0.02)  # nothing in flight; wait for stdin
     wall = time.time() - t0
-    total_frames = sum(r.n_steps for r in results)
     stats = {
         "total_frames": total_frames,
         "frames_per_s": total_frames / max(wall, 1e-9),
         "aggregate_rtf": total_frames / 12.5 / max(wall, 1e-9),
     }
-    return results, stats, wall
+    return n_served, stats, wall
 
 
-def _serve_http(args, server, to_stream_request, finish_audio,
-                make_stream_sink=None, sample_rate=24_000):
-    """HTTP daemon: handler threads enqueue requests and block on a
-    per-request event; the MAIN thread is the only one driving the
-    BatchedServer (admit at frame boundaries, decode chunks, fulfill
-    waiters with in-memory wav bytes).  Continuous batching means
-    concurrent POSTs decode together.
+def _make_http_handler(server, inbox, stop, stats_box, sample_rate):
+    """Build the request-handler class for ``_serve_http``.
 
-    With ``make_stream_sink`` (``--stream``), responses are s16le PCM
-    streamed close-delimited as decode chunks complete — first audio
-    reaches the client while its request is still decoding."""
+    Module-level factory (not a closure inside ``_serve_http``) so the
+    admission/overload protocol — 404/400/413/**503 when the bounded
+    inbox is full** — is unit-testable without a live server
+    (tests/test_cli.py)."""
     import json as _json
     import queue
     import threading
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-    host, _, port = args.http.rpartition(":")
-    host = host or "127.0.0.1"
-    inbox: "queue.Queue" = queue.Queue()
-    stop = threading.Event()
-    stats_box = {"served": 0, "frames": 0}
+    from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
         timeout = 120  # socket timeout: a stalled client can't pin a thread
@@ -354,7 +363,12 @@ def _serve_http(args, server, to_stream_request, finish_audio,
                 return self._json_reply(400, {"error": f"bad request: {e}"})
             done = threading.Event()
             holder: dict = {}
-            inbox.put((req, done, holder))
+            try:
+                inbox.put_nowait((req, done, holder))
+            except queue.Full:  # backpressure: bounded admission queue
+                return self._json_reply(
+                    503, {"error": "server overloaded, retry later"}
+                )
             done.wait()
             if "error" in holder:
                 return self._json_reply(400, {"error": holder["error"]})
@@ -384,6 +398,34 @@ def _serve_http(args, server, to_stream_request, finish_audio,
             self.end_headers()
             self.wfile.write(wav)
 
+    return Handler
+
+
+def _serve_http(args, server, to_stream_request, finish_audio,
+                make_stream_sink=None, sample_rate=24_000):
+    """HTTP daemon: handler threads enqueue requests and block on a
+    per-request event; the MAIN thread is the only one driving the
+    BatchedServer (admit at frame boundaries, decode chunks, fulfill
+    waiters with in-memory wav bytes).  Continuous batching means
+    concurrent POSTs decode together.
+
+    With ``make_stream_sink`` (``--stream``), responses are s16le PCM
+    streamed close-delimited as decode chunks complete — first audio
+    reaches the client while its request is still decoding.
+
+    Overloaded (inbox at ``--http-queue`` bound) POSTs get an immediate
+    503; if the drive loop dies, every blocked handler is fulfilled with
+    an error before the exception propagates."""
+    import queue
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    host, _, port = args.http.rpartition(":")
+    host = host or "127.0.0.1"
+    inbox: "queue.Queue" = queue.Queue(maxsize=getattr(args, "http_queue", 0))
+    stop = threading.Event()
+    stats_box = {"served": 0, "frames": 0}
+    Handler = _make_http_handler(server, inbox, stop, stats_box, sample_rate)
     httpd = ThreadingHTTPServer((host, int(port)), Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     print(f"Serving on http://{host}:{port} (POST /generate, GET /health, "
@@ -417,32 +459,44 @@ def _serve_http(args, server, to_stream_request, finish_audio,
             pending.append(sr)
         n_seen += 1
 
-    while not (stop.is_set() and not pending and not server.active.any()
-               and inbox.empty()):
-        try:
-            # block briefly for the first arrival, then DRAIN the inbox —
-            # k simultaneous clients admit into one k-slot decode, not
-            # one per chunk
-            admit(*inbox.get(
-                timeout=0.02 if (pending or server.active.any()) else 0.25
-            ))
-            while True:
-                admit(*inbox.get_nowait())
-        except queue.Empty:
-            pass
-        while pending and server.submit(pending[0]) is not None:
-            pending.pop(0)
-        for res in server.step():
-            done, holder = waiters.pop(res.request_id)
-            if "pcm_queue" not in holder:  # streamed: sink already closed
-                holder["wav"] = finish_audio(res)
-                holder["frames"] = res.frames.shape[0]
+    try:
+        while not (stop.is_set() and not pending and not server.active.any()
+                   and inbox.empty()):
+            try:
+                # block briefly for the first arrival, then DRAIN the inbox —
+                # k simultaneous clients admit into one k-slot decode, not
+                # one per chunk
+                admit(*inbox.get(
+                    timeout=0.02 if (pending or server.active.any()) else 0.25
+                ))
+                while True:
+                    admit(*inbox.get_nowait())
+            except queue.Empty:
+                pass
+            while pending and server.submit(pending[0]) is not None:
+                pending.pop(0)
+            for res in server.step():
+                done, holder = waiters.pop(res.request_id)
+                if "pcm_queue" not in holder:  # streamed: sink already closed
+                    holder["wav"] = finish_audio(res)
+                    holder["frames"] = res.frames.shape[0]
+                    done.set()
+                total_frames += res.frames.shape[0]
+                n_served += 1
+                stats_box["served"] = n_served
+                stats_box["frames"] = total_frames
+    finally:
+        # if the drive loop dies (device error in step/submit), every
+        # blocked handler thread gets an error reply instead of hanging
+        # until process exit
+        for done, holder in waiters.values():
+            if "pcm_queue" in holder:  # streamed: handler blocks on q.get()
+                holder["pcm_queue"].put(None)
+            if not done.is_set():
+                holder.setdefault("error", "server loop terminated")
                 done.set()
-            total_frames += res.frames.shape[0]
-            n_served += 1
-            stats_box["served"] = n_served
-            stats_box["frames"] = total_frames
-    httpd.shutdown()
+        waiters.clear()
+        httpd.shutdown()
     # close the shutdown race: a /generate that slipped into the inbox
     # after the final emptiness check gets an error reply, not a hang
     while True:
@@ -473,6 +527,10 @@ def main(argv=None) -> int:
     if args.http:
         if args.follow:
             print("--http is exclusive with --follow", file=sys.stderr)
+            return 2
+        if args.requests is not None:
+            print("--http is exclusive with --requests (requests arrive "
+                  "over HTTP)", file=sys.stderr)
             return 2
         raw = []
         mode = " --stream (PCM streaming)" if args.stream else ""
@@ -547,6 +605,7 @@ def main(argv=None) -> int:
         max_seq_len=args.max_seq_len, temperature=args.temperature,
         topk=args.topk, compute_dtype=generator.compute_dtype,
         chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
+        kv_dtype=args.kv_dtype,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     from csm_tpu.data.audio import save_wav
@@ -574,7 +633,9 @@ def main(argv=None) -> int:
     def emit_result(res):
         out = os.path.join(args.output_dir, f"{res.request_id}.wav")
         if args.stream:
-            sink = sinks[res.request_id]
+            # pop: a long-running --follow daemon must not retain every
+            # request's decoded audio + carried decoder state
+            sink = sinks.pop(res.request_id)
             print(f"  {out}: {res.frames.shape[0]} frames "
                   f"({res.frames.shape[0] * MS_PER_FRAME / 1000:.2f}s) "
                   f"first audio +{(sink.first_audio_s or 0) * 1000:.0f} ms, "
@@ -611,14 +672,22 @@ def main(argv=None) -> int:
               f"(weights {server.weight_dtype}, {args.n_slots} slots)")
         return 0
     if args.follow:
-        results, stats, wall = _serve_follow(
+        n_served, stats, wall = _serve_follow(
             args, server, to_stream_request, attach_sink, emit_result
         )
     else:
-        requests = [
-            sr for sr in (to_stream_request(i, r) for i, r in enumerate(raw))
-            if sr is not None
-        ]
+        requests = []
+        seen_ids = set()
+        for i, r in enumerate(raw):
+            sr = to_stream_request(i, r)
+            if sr is None:
+                continue
+            if sr.request_id in seen_ids:  # one sink + wav path per id
+                print(f"  duplicate id {sr.request_id!r} rejected",
+                      file=sys.stderr)
+                continue
+            seen_ids.add(sr.request_id)
+            requests.append(sr)
         if not requests:
             print("no servable requests", file=sys.stderr)
             return 1
@@ -630,8 +699,9 @@ def main(argv=None) -> int:
         wall = time.time() - t0
         for res in results:
             emit_result(res)
+        n_served = len(results)
 
-    print(f"Served {len(results)} requests in {wall:.2f}s: "
+    print(f"Served {n_served} requests in {wall:.2f}s: "
           f"{stats['total_frames']} frames, "
           f"{stats['frames_per_s']:.1f} frames/s decode, "
           f"aggregate RTF {stats['aggregate_rtf']:.2f} "

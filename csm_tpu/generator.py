@@ -74,8 +74,12 @@ class Generator:
         watermarker=None,
         compute_dtype=jnp.bfloat16,
         mesh=None,
+        kv_dtype=None,
     ):
+        """``kv_dtype`` — KV-cache storage dtype (``jnp.int8`` quantizes
+        K/V at write, csm_tpu/ops/kvcache.py; None = compute_dtype)."""
         self.mesh = mesh
+        self.kv_dtype = kv_dtype
         if mesh is not None:
             from csm_tpu.parallel.inference import shard_inference_params
 
@@ -194,6 +198,7 @@ class Generator:
             temperature=temperature,
             topk=topk,
             compute_dtype=self.compute_dtype,
+            kv_dtype=self.kv_dtype,
         )
         frames = np.asarray(res.frames)  # (B, max_frames, K)
         nf = np.asarray(res.num_frames)
@@ -246,6 +251,7 @@ def _streaming_server_cache(gen: "Generator", chunk_frames: int, topk: int):
             gen.params, gen.args, n_slots=1, max_seq_len=gen.max_seq_len,
             topk=topk, compute_dtype=gen.compute_dtype,
             chunk_size=chunk_frames,
+            kv_dtype="int8" if gen.kv_dtype == jnp.int8 else "bf16",
         )
     return srv[key]
 
@@ -354,6 +360,7 @@ def load_csm_1b(
     watermarker=None,
     compute_dtype=jnp.bfloat16,
     quantize: bool = False,
+    kv_int8: bool = False,
 ) -> Generator:
     """Build a CSM-1B Generator (reference: src/csm/generator.py:221-244).
 
@@ -363,6 +370,8 @@ def load_csm_1b(
     ``mimi_path`` — Mimi safetensors/pt checkpoint; None → random init.
     ``quantize`` — int8 weight-only quantization of the transformer stacks
     (~1.6x faster bandwidth-bound decode; csm_tpu/utils/quantize.py).
+    ``kv_int8`` — int8 KV cache (quantize-at-write, half the decode-time
+    cache HBM stream; csm_tpu/ops/kvcache.py).
     """
     from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_init
 
@@ -395,6 +404,7 @@ def load_csm_1b(
     return Generator(
         params, args, mimi=mimi, watermarker=watermarker,
         compute_dtype=compute_dtype,
+        kv_dtype=jnp.int8 if kv_int8 else None,
     )
 
 

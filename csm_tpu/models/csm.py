@@ -146,9 +146,17 @@ class FrameState(NamedTuple):
 
 
 def init_frame_state(
-    args: ModelArgs, batch_size: int, dtype=jnp.bfloat16, max_seq_len: int | None = None
+    args: ModelArgs,
+    batch_size: int,
+    dtype=jnp.bfloat16,
+    max_seq_len: int | None = None,
+    kv_dtype=None,
 ) -> FrameState:
-    cache = init_kv_cache(args.backbone, batch_size, dtype, max_seq_len)
+    """``kv_dtype`` — cache storage dtype override (``jnp.int8`` for a
+    quantized cache, csm_tpu/ops/kvcache.py); defaults to ``dtype``."""
+    cache = init_kv_cache(
+        args.backbone, batch_size, kv_dtype or dtype, max_seq_len
+    )
     return FrameState(
         cache=cache,
         offset=jnp.zeros((), jnp.int32),

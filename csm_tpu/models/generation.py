@@ -55,6 +55,7 @@ def generate_audio_tokens(
     temperature: float | jnp.ndarray = 0.9,
     topk: int = 50,
     compute_dtype=jnp.bfloat16,
+    kv_dtype=None,
 ) -> GenerationResult:
     """Generate up to ``max_frames`` 32-codebook frames after the prompt.
 
@@ -65,12 +66,16 @@ def generate_audio_tokens(
         prompt_tokens: (B, S_pad, K+1) right-padded prompt frames.
         prompt_mask: (B, S_pad, K+1) column liveness (False on padding rows).
         prompt_len: (B,) real prompt lengths.
+        kv_dtype: cache storage dtype (``jnp.int8`` = quantized KV cache,
+            half the decode HBM stream; None = compute_dtype).
     """
     K = args.audio_num_codebooks
     B, S_pad, _ = prompt_tokens.shape
     max_seq_len = S_pad + max_frames
 
-    state = csm.init_frame_state(args, B, compute_dtype, max_seq_len=max_seq_len)
+    state = csm.init_frame_state(
+        args, B, compute_dtype, max_seq_len=max_seq_len, kv_dtype=kv_dtype
+    )
 
     # Prefill positions: 0..len-1 then PAD_POS on padding rows.
     col = jnp.arange(S_pad, dtype=jnp.int32)
@@ -143,7 +148,7 @@ def generate_audio_tokens(
 
 _generate_jit = jax.jit(
     generate_audio_tokens,
-    static_argnames=("args", "max_frames", "topk", "compute_dtype"),
+    static_argnames=("args", "max_frames", "topk", "compute_dtype", "kv_dtype"),
 )
 
 

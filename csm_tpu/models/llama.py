@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from csm_tpu.models.config import TransformerConfig
 from csm_tpu.ops.attention import gqa_attention
-from csm_tpu.ops.kvcache import KVCache, update_layer
+from csm_tpu.ops.kvcache import KVCache, dequantize_kv, update_layer
 from csm_tpu.ops.norms import rms_norm
 from csm_tpu.ops.rope import apply_rope, rope_at_positions
 
@@ -138,7 +138,11 @@ def _layer_forward(
 
     if kv_layer is not None:
         k_cache, v_cache = update_layer(kv_layer[0], kv_layer[1], k, v, cache_offset)
-        attn = attend(q, k_cache, v_cache)
+        # int8 caches dequantize at the attention load (convert+scale fuse
+        # into the matmul operand read; only int8 bytes stream from HBM)
+        attn = attend(
+            q, dequantize_kv(k_cache, q.dtype), dequantize_kv(v_cache, q.dtype)
+        )
         new_kv = (k_cache, v_cache)
     else:
         attn = attend(q, k, v)

@@ -64,18 +64,30 @@ def shard_inference_params(params, mesh: Mesh):
     return jax.tree.map(put, specs, params, is_leaf=lambda x: isinstance(x, P))
 
 
-def frame_state_specs(per_row_offset: bool) -> FrameState:
-    """PartitionSpec tree for a FrameState: slots over data, heads over model."""
+def frame_state_specs(
+    per_row_offset: bool, cache: KVCache | None = None
+) -> FrameState:
+    """PartitionSpec tree for a FrameState: slots over data, heads over model.
+
+    ``cache`` — optional template whose k/v structure the spec tree must
+    match (int8 caches carry {q, s} QuantKV leaves; the SAME 5-D spec
+    applies to both: codes and per-row scales shard identically)."""
     kv = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    k_spec = v_spec = kv
+    if cache is not None:
+        k_spec = jax.tree.map(lambda _: kv, cache.k)
+        v_spec = jax.tree.map(lambda _: kv, cache.v)
     return FrameState(
-        cache=KVCache(kv, kv),
+        cache=KVCache(k_spec, v_spec),
         offset=P(DATA_AXIS) if per_row_offset else P(),
         kv_pos=P(DATA_AXIS, None),
     )
 
 
 def shard_frame_state(state: FrameState, mesh: Mesh) -> FrameState:
-    specs = frame_state_specs(per_row_offset=state.offset.ndim == 1)
+    specs = frame_state_specs(
+        per_row_offset=state.offset.ndim == 1, cache=state.cache
+    )
     return jax.tree.map(
         lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
         specs,

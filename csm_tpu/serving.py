@@ -47,13 +47,18 @@ from csm_tpu.models.config import ModelArgs
 from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
 from csm_tpu.ops.kvcache import KVCache
 
-# weight_dtype="auto" crossover, measured on v5e (scripts/bench_serving.py
+# weight_dtype="auto" policy, measured on v5e (scripts/bench_serving.py
 # --int8 vs bf16; see BENCHMARKS.md).  With the on-device control plane,
-# int8 wins at EVERY measured slot count (1..64) — round-1's "int8 loses
-# at 64 slots" was host-dispatch overhead, not dequant cost — so the
-# threshold sits at the largest measured count.  bf16 stays the DEFAULT
-# until int8 quality is validated against real checkpoints.
-INT8_SLOT_AUTO_THRESHOLD = 64
+# int8 wins at EVERY measured slot count (1..64, up to +41%) — round-1's
+# "int8 loses at 64 slots" was host-dispatch overhead, not dequant cost —
+# and the gap only narrows (never reverses) as weight reads amortize over
+# more slots, so "auto" picks int8 at ANY slot count.  bf16 stays the
+# explicit-opt-in DEFAULT until int8 quality is validated on real
+# checkpoints.  PROMOTION RULE (what flips the default to "auto"): run
+# scripts/validate_real_weights.py on real CSM-1B weights; int8 is
+# promoted iff c0-logit KL(int8 || bf16) < 0.01 nats AND greedy (T=0)
+# frame-token match rate >= 0.95 over the validation prompts.  On
+# random-init weights the measured c0 KL is 0.0011 (BENCHMARKS.md).
 
 
 @dataclasses.dataclass
@@ -111,6 +116,7 @@ class BatchedServer:
         chunk_size: int = 8,
         mesh=None,
         weight_dtype: str = "bf16",
+        kv_dtype: str = "bf16",
     ):
         """``chunk_size`` — max decode frames per host round-trip: admission
         latency granularity trades against per-dispatch overhead (a chunk
@@ -127,18 +133,28 @@ class BatchedServer:
 
         ``weight_dtype`` — "bf16" (keep params as passed), "int8"
         (quantize the transformer projections: csm_tpu/utils/quantize.py),
-        or "auto": int8 iff ``n_slots <= INT8_SLOT_AUTO_THRESHOLD``.
-        Measured on v5e (BENCHMARKS.md): int8 halves weight-read bytes and
-        beats bf16 at every measured slot count (1..64, up to +41%);
+        or "auto" (= int8 at every slot count: measured faster at 1..64
+        slots, up to +41%, and the trend only narrows with more slots —
+        see the policy + promotion-rule comment at the top of this file).
         bf16 remains the conservative default until int8 quality is
         validated against real checkpoints
         (scripts/validate_real_weights.py does that when weights are
-        supplied)."""
+        supplied).
+
+        ``kv_dtype`` — "bf16" or "int8": KV-cache storage.  int8
+        quantizes K/V rows at write (per-position-per-head scales,
+        csm_tpu/ops/kvcache.py) and dequantizes inside the attention
+        load — halves the decode-time cache HBM stream AND doubles the
+        slot capacity per GiB (the serving ceiling per BENCHMARKS.md)."""
         if weight_dtype not in ("bf16", "int8", "auto"):
             raise ValueError(f"weight_dtype must be bf16|int8|auto, got {weight_dtype!r}")
         if weight_dtype == "auto":
-            weight_dtype = "int8" if n_slots <= INT8_SLOT_AUTO_THRESHOLD else "bf16"
+            weight_dtype = "int8"
         self.weight_dtype = weight_dtype
+        if kv_dtype not in ("bf16", "int8"):
+            raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
+        self.kv_dtype = kv_dtype
+        self._kv_dtype_jnp = jnp.int8 if kv_dtype == "int8" else None
         if weight_dtype == "int8":
             from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
 
@@ -177,7 +193,7 @@ class BatchedServer:
         K = self.args.audio_num_codebooks
         state = csm.init_frame_state(
             self.args, self.n_slots, self.compute_dtype,
-            max_seq_len=self.max_seq_len,
+            max_seq_len=self.max_seq_len, kv_dtype=self._kv_dtype_jnp,
         )
         # per-row cache offsets: each slot's row fills independently and
         # resets on admission — a slot never exhausts the cache as long as
@@ -318,7 +334,9 @@ class BatchedServer:
         def prefill(params, key, state: csm.FrameState, slot, tokens, mask,
                     length, temperature):
             sub = csm.init_frame_state(
-                args, 1, self.compute_dtype, max_seq_len=state.cache.max_seq_len
+                args, 1, self.compute_dtype,
+                max_seq_len=state.cache.max_seq_len,
+                kv_dtype=self._kv_dtype_jnp,
             )
             col = jnp.arange(tokens.shape[1], dtype=jnp.int32)
             pos = jnp.where(col[None, :] < length, col[None, :], csm.PAD_POS)
@@ -327,13 +345,13 @@ class BatchedServer:
                 temperature, self.topk, self.compute_dtype,
                 last_idx=length[None] - 1,
             )
-            # merge slot rows into the shared state
-            k = jax.lax.dynamic_update_slice(
-                state.cache.k, sub.cache.k[:, :1], (0, slot, 0, 0, 0)
+            # merge slot rows into the shared state (tree.map: quantized
+            # caches carry {q, s} leaves, both 5-D, same slot axis)
+            merge = lambda full, new: jax.lax.dynamic_update_slice(  # noqa: E731
+                full, new[:, :1], (0, slot, 0, 0, 0)
             )
-            v = jax.lax.dynamic_update_slice(
-                state.cache.v, sub.cache.v[:, :1], (0, slot, 0, 0, 0)
-            )
+            k = jax.tree.map(merge, state.cache.k, sub.cache.k)
+            v = jax.tree.map(merge, state.cache.v, sub.cache.v)
             kv_pos = jax.lax.dynamic_update_slice(
                 state.kv_pos, sub.kv_pos[:1], (slot, 0)
             )
@@ -419,7 +437,8 @@ class BatchedServer:
 
         def gather(state: csm.FrameState, slots: SlotState, idx):
             t0 = lambda x: jnp.take(x, idx, axis=0, mode="clip")  # noqa: E731
-            t1 = lambda x: jnp.take(x, idx, axis=1, mode="clip")  # noqa: E731
+            _t1 = lambda x: jnp.take(x, idx, axis=1, mode="clip")  # noqa: E731
+            t1 = lambda c: jax.tree.map(_t1, c)  # noqa: E731  (QuantKV-safe)
             sub_state = csm.FrameState(
                 cache=KVCache(t1(state.cache.k), t1(state.cache.v)),
                 offset=t0(state.offset),
@@ -436,7 +455,8 @@ class BatchedServer:
         def scatter(state: csm.FrameState, slots: SlotState,
                     sub_state: csm.FrameState, sub_slots: SlotState, idx):
             p0 = lambda x, u: x.at[idx].set(u, mode="drop")  # noqa: E731
-            p1 = lambda x, u: x.at[:, idx].set(u, mode="drop")  # noqa: E731
+            _p1 = lambda x, u: x.at[:, idx].set(u, mode="drop")  # noqa: E731
+            p1 = lambda c, u: jax.tree.map(_p1, c, u)  # noqa: E731
             state = csm.FrameState(
                 cache=KVCache(
                     p1(state.cache.k, sub_state.cache.k),

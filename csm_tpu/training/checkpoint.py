@@ -89,7 +89,16 @@ def load_checkpoint(
             # subdirectories, so ask the checkpoint metadata
             try:
                 saved_keys = set(ckptr.metadata(path).item_metadata.tree.keys())
-            except Exception:
+            except Exception as e:
+                # orbax-internal metadata shape changed: restoring a
+                # params-only checkpoint into a params+opt_state template
+                # will raise below — leave a diagnostic trail
+                import logging
+
+                logging.getLogger("csm_tpu.checkpoint").warning(
+                    "could not read checkpoint key metadata (%r); "
+                    "restoring with the unfiltered template", e
+                )
                 saved_keys = None  # unknown layout: trust the template
             if saved_keys is not None:
                 template = {

@@ -160,10 +160,10 @@ def test_server_with_quantized_params(tiny):
 
 
 def test_weight_dtype_policy(tiny):
-    """weight_dtype="auto" picks int8 at low slot counts and bf16 above
-    the measured crossover; "int8" quantizes internally and must match a
-    server handed pre-quantized params."""
-    from csm_tpu.serving import INT8_SLOT_AUTO_THRESHOLD
+    """weight_dtype="auto" picks int8 at EVERY slot count (measured faster
+    at all 1..64, and the gap only narrows as weight reads amortize —
+    serving.py policy comment); "int8" quantizes internally and must match
+    a server handed pre-quantized params."""
     from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
 
     args, params = tiny
@@ -172,11 +172,9 @@ def test_weight_dtype_policy(tiny):
     lo = BatchedServer(params, args, n_slots=1, weight_dtype="auto", **kw)
     assert lo.weight_dtype == "int8"
     assert is_quantized(lo.params["backbone"]["wq"])
-    hi = BatchedServer(params, args,
-                       n_slots=INT8_SLOT_AUTO_THRESHOLD + 16,
-                       weight_dtype="auto", **kw)
-    assert hi.weight_dtype == "bf16"
-    assert not is_quantized(hi.params["backbone"]["wq"])
+    hi = BatchedServer(params, args, n_slots=128, weight_dtype="auto", **kw)
+    assert hi.weight_dtype == "int8"
+    assert is_quantized(hi.params["backbone"]["wq"])
 
     req = make_request(args, 6, rid=0, seed=1, max_frames=4)
     r_auto, _ = lo.run([req])
@@ -296,3 +294,43 @@ def test_compacted_serving_matches_dedicated_server(tiny):
     a, b = serve(8, reqs), serve(2, reqs)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_server_int8_kv_matches_solo_int8_kv(tiny):
+    """Continuous batching must stay invisible under an int8 KV cache:
+    a stream served with kv_dtype="int8" produces exactly the tokens of a
+    solo int8-KV generation (same quantize-at-write math in both paths),
+    including through slot compaction and per-row cache offsets."""
+    from csm_tpu.models.generation import generate_audio_tokens_jit
+    from csm_tpu.ops.kvcache import QuantKV
+
+    args, params = tiny
+    server = BatchedServer(
+        params, args, n_slots=2, max_seq_len=128,
+        temperature=1.0, topk=1, compute_dtype=jnp.float32,
+        kv_dtype="int8",
+    )
+    assert isinstance(server.state.cache.k, QuantKV)
+    reqs = [
+        make_request(args, 6, rid=0, seed=1),
+        make_request(args, 9, rid=1, seed=2),
+    ]
+    results, _ = server.run(list(reqs))
+    by_id = {r.request_id: r for r in results}
+    K = args.audio_num_codebooks
+    for req in reqs:
+        T = req.tokens.shape[0]
+        toks = np.zeros((1, 64, K + 1), np.int32)
+        msk = np.zeros((1, 64, K + 1), bool)
+        toks[0, :T] = req.tokens
+        msk[0, :T] = req.mask
+        res = generate_audio_tokens_jit(
+            params, args, jax.random.key(0), jnp.asarray(toks),
+            jnp.asarray(msk), jnp.full((1,), T, jnp.int32),
+            max_frames=req.max_frames, temperature=1.0, topk=1,
+            compute_dtype=jnp.float32, kv_dtype=jnp.int8,
+        )
+        n = int(res.num_frames[0])
+        want = np.asarray(res.frames)[0, :n]
+        got = by_id[req.request_id].frames
+        np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
