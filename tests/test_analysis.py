@@ -32,6 +32,7 @@ def torch_sample_topk(logits: torch.Tensor, topk: int, temperature: float, gen):
     return torch.argmax(probs / q, dim=-1)
 
 
+@pytest.mark.slow
 def test_sampler_matches_analytic_distribution():
     rng = np.random.default_rng(0)
     logits = rng.normal(size=64).astype(np.float32) * 2

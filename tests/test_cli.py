@@ -246,6 +246,7 @@ def test_stdin_poller_multi_line_and_partial():
             _os.close(w)
 
 
+@pytest.mark.slow
 def test_serve_follow_admits_incrementally(tmp_path):
     """csm-serve --follow: requests piped to stdin are admitted as they
     arrive (daemon mode), each wav lands when its request finishes, and
@@ -290,6 +291,7 @@ def test_serve_follow_admits_incrementally(tmp_path):
     assert "Served 2 requests" in stdout, stdout
 
 
+@pytest.mark.slow
 def test_serve_http_endpoint(tmp_path):
     """csm-serve --http: concurrent POST /generate requests share the
     continuous-batching decode and each gets a playable wav back;

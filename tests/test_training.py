@@ -179,6 +179,7 @@ def test_gradient_accumulation(tiny):
     assert not np.array_equal(np.asarray(state.params["decoder"]["wq"]), before)
 
 
+@pytest.mark.slow
 def test_grad_microbatches_exact_semantics(tiny):
     """_accumulated_grads(n_micro=2) == mean of per-microbatch
     value_and_grad with the same split keys (the optax.MultiSteps

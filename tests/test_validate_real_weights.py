@@ -12,6 +12,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_validation_pack_synthetic(tmp_path):
     report = tmp_path / "report.json"
     env = dict(os.environ)
