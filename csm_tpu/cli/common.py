@@ -84,6 +84,12 @@ def add_parallel_args(parser: argparse.ArgumentParser):
                    help="Sequence-parallel (ring attention) axis size for "
                         "long-context training; the sequence length must "
                         "be a multiple of it")
+    g.add_argument("--ring-layout", choices=("auto", "zigzag", "contiguous"),
+                   default="auto",
+                   help="Ring-attention sequence layout: zigzag balances "
+                        "causal work per device (auto = zigzag when the "
+                        "sequence divides by 2*seq-parallel); identical "
+                        "results either way")
     g.add_argument("--pp-microbatches", type=int, default=1,
                    help="Microbatches per step in pipeline mode (bubble "
                         "fraction = (P-1)/(M+P-1))")

@@ -86,6 +86,7 @@ def make_lora_trainer(args):
             pipeline_parallel=args.pipeline_parallel,
             pp_microbatches=args.pp_microbatches,
             seq_parallel=args.seq_parallel,
+            ring_layout=args.ring_layout,
         )
     common = dict(
         output_dir=args.output_dir,

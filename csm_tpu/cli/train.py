@@ -196,6 +196,7 @@ def main(argv=None) -> int:
             pipeline_parallel=args.pipeline_parallel,
             pp_microbatches=args.pp_microbatches,
             seq_parallel=args.seq_parallel,
+            ring_layout=args.ring_layout,
         )
 
     dt = {"f32": jnp.float32, "bf16": jnp.bfloat16, None: None}

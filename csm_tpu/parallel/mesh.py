@@ -43,6 +43,11 @@ class ParallelConfig:
     pipeline_parallel: int = 1
     pp_microbatches: int = 1
     seq_parallel: int = 1
+    # ring-attention sequence layout for seq_parallel>1: "auto" uses the
+    # balanced zigzag whenever T divides by 2*seq_parallel (contiguous
+    # gives the last device ~2x the causal work), else contiguous;
+    # results are identical either way (csm_tpu/parallel/ring_attention.py)
+    ring_layout: str = "auto"
 
     @property
     def enabled(self) -> bool:

@@ -90,6 +90,7 @@ def compute_loss(
     seq_mesh=None,
     pp_mesh=None,
     pp_microbatches: int = 1,
+    ring_layout: str = "auto",
 ) -> Tuple[jnp.ndarray, dict]:
     """Total training loss + metrics.
 
@@ -98,6 +99,13 @@ def compute_loss(
     so context length scales with the axis size (long-context training
     beyond the reference's 2048 cap; shard the batch's time dim over
     ``seq``).  The short (32-step) decoder stays local.
+
+    ``ring_layout`` — sequence layout for the ring: "zigzag" balances the
+    causal work per device (contiguous gives device n-1 ~2x device 0's
+    scores), "contiguous" is the plain split, "auto" (default) picks
+    zigzag whenever T divides by 2x the seq axis and falls back to
+    contiguous otherwise.  Results are identical either way
+    (csm_tpu/parallel/ring_attention.py zigzag_perm).
 
     ``pp_mesh`` — optional mesh with a ``pipe`` axis: the backbone runs
     pipeline-parallel (csm_tpu/parallel/pipeline.py) with its layer stack
@@ -145,11 +153,18 @@ def compute_loss(
         )  # (B, T, E_b)
     else:
         if seq_mesh is not None:
-            from csm_tpu.parallel.ring_attention import sharded_ring_attention
+            from csm_tpu.parallel.ring_attention import (
+                SEQ_AXIS,
+                sharded_ring_attention,
+            )
 
+            layout = ring_layout
+            if layout == "auto":
+                n_seq = seq_mesh.shape[SEQ_AXIS]
+                layout = "zigzag" if T % (2 * n_seq) == 0 else "contiguous"
             mask, flash_pos = None, None
             attn_impl = lambda q, k, v: sharded_ring_attention(  # noqa: E731
-                seq_mesh, q, k, v, positions, positions[0]
+                seq_mesh, q, k, v, positions, positions[0], layout=layout
             )
         elif use_flash(T):
             mask, flash_pos = None, (positions, positions[0])

@@ -38,6 +38,7 @@ def make_train_step(
     pp_mesh=None,
     pp_microbatches: int = 1,
     grad_microbatches: int = 1,
+    ring_layout: str = "auto",
 ) -> Callable:
     """Returns jitted ``step(state, key, batch) -> (state, metrics)``.
 
@@ -71,6 +72,7 @@ def make_train_step(
             seq_mesh=seq_mesh,
             pp_mesh=pp_mesh,
             pp_microbatches=pp_microbatches,
+            ring_layout=ring_layout,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -136,6 +138,7 @@ def make_lora_train_step(
     seq_mesh=None,
     pp_mesh=None,
     pp_microbatches: int = 1,
+    ring_layout: str = "auto",
 ) -> Callable:
     """Jitted ``step(lora_state, base_params, key, batch)`` — differentiates
     ONLY the adapter tree; the frozen base rides along un-donated
@@ -158,6 +161,7 @@ def make_lora_train_step(
             seq_mesh=seq_mesh,
             pp_mesh=pp_mesh,
             pp_microbatches=pp_microbatches,
+            ring_layout=ring_layout,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -182,6 +186,7 @@ def make_eval_step(
     seq_mesh=None,
     pp_mesh=None,
     pp_microbatches: int = 1,
+    ring_layout: str = "auto",
 ) -> Callable:
     """Returns jitted ``eval_step(params, key, batch) -> metrics``
     (reference validation pass: src/csm/training/trainer.py:359-394).
@@ -202,6 +207,7 @@ def make_eval_step(
             seq_mesh=seq_mesh,
             pp_mesh=pp_mesh,
             pp_microbatches=pp_microbatches,
+            ring_layout=ring_layout,
         )
         return metrics
 

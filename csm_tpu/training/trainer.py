@@ -197,6 +197,8 @@ class CSMTrainer:
             pp_mesh=self.mesh if pp else None,
             pp_microbatches=self.parallel.pp_microbatches if pp else 1,
             seq_mesh=self.mesh if sp else None,
+            ring_layout=(self.parallel.ring_layout
+                         if self.parallel is not None else "auto"),
             grad_microbatches=grad_microbatches,
         )
         self._eval_fn = make_eval_step(
@@ -207,6 +209,8 @@ class CSMTrainer:
             pp_mesh=self.mesh if pp else None,
             pp_microbatches=self.parallel.pp_microbatches if pp else 1,
             seq_mesh=self.mesh if sp else None,
+            ring_layout=(self.parallel.ring_layout
+                         if self.parallel is not None else "auto"),
         )
         return self.tx
 
@@ -531,6 +535,8 @@ class CSMLoRATrainer(CSMTrainer):
             pp_microbatches=self.parallel.pp_microbatches if pp else 1,
             seq_mesh=(self.mesh if self.parallel is not None
                       and self.parallel.seq_parallel > 1 else None),
+            ring_layout=(self.parallel.ring_layout
+                         if self.parallel is not None else "auto"),
         )
         self._eval_fn = self._make_lora_eval()
         return self.tx
@@ -555,6 +561,8 @@ class CSMLoRATrainer(CSMTrainer):
                 lora=lora, lora_scale=scaling,
                 pp_mesh=pp_mesh, pp_microbatches=pp_mb,
                 seq_mesh=seq_mesh,
+                ring_layout=(self.parallel.ring_layout
+                             if self.parallel is not None else "auto"),
             )
             return m
 

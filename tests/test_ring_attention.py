@@ -115,25 +115,33 @@ state1 = init_train_state(jax.tree.map(jnp.array, params), tx)
 state1, m1 = step1(state1, jax.random.key(7), batch)
 
 mesh = make_sp_mesh(jax.devices(), seq_parallel=4)  # (data=2, seq=4)
-stepS = make_train_step(args, tx, compute_dtype=jnp.float32, seq_mesh=mesh)
-sp = jax.device_put(params, NamedSharding(mesh, P()))
-stateS = TrainState(sp, jax.jit(tx.init)(sp), jnp.zeros((), jnp.int32))
 def put(x, *spec):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 sbatch = Batch(put(batch.tokens, "data", "seq", None),
                put(batch.tokens_mask, "data", "seq", None),
                put(batch.targets, "data", "seq", None),
                put(batch.target_mask, "data", "seq"))
-stateS, mS = stepS(stateS, jax.random.key(7), sbatch)
-
-np.testing.assert_allclose(float(m1["loss"]), float(mS["loss"]), rtol=2e-4)
-np.testing.assert_allclose(
-    np.asarray(state1.params["backbone"]["wo"]),
-    np.asarray(stateS.params["backbone"]["wo"]), atol=2e-5)
-print("seq-parallel train parity OK", float(m1["loss"]), float(mS["loss"]))
+# both ring layouts through the REAL train step: contiguous and the
+# balanced zigzag (what ParallelConfig(ring_layout="auto") selects when
+# T=256 divides by 2*seq=8) must equal the single-device step
+for layout in ("contiguous", "zigzag"):
+    stepS = make_train_step(args, tx, compute_dtype=jnp.float32,
+                            seq_mesh=mesh, ring_layout=layout)
+    # copy: the step donates its state, and device_put may alias params
+    sp = jax.device_put(jax.tree.map(jnp.array, params),
+                        NamedSharding(mesh, P()))
+    stateS = TrainState(sp, jax.jit(tx.init)(sp), jnp.zeros((), jnp.int32))
+    stateS, mS = stepS(stateS, jax.random.key(7), sbatch)
+    np.testing.assert_allclose(float(m1["loss"]), float(mS["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(state1.params["backbone"]["wo"]),
+        np.asarray(stateS.params["backbone"]["wo"]), atol=2e-5)
+    print(f"seq-parallel train parity OK [{layout}]",
+          float(m1["loss"]), float(mS["loss"]))
 """
     )
-    assert "seq-parallel train parity OK" in out
+    assert "seq-parallel train parity OK [contiguous]" in out
+    assert "seq-parallel train parity OK [zigzag]" in out
 
 
 @pytest.mark.multichip
