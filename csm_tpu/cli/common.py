@@ -149,10 +149,16 @@ def build_generator(args, compute_dtype=None):
             params, margs, mimi=mimi, text_tokenizer=ByteTokenizer(),
             compute_dtype=jnp.float32,
         )
+    margs = None
+    if getattr(args, "flavor", "1b") == "tiny":
+        from csm_tpu.models.config import tiny_file_args
+
+        margs = tiny_file_args()
     return load_csm_1b(
         getattr(args, "model_path", None),
         mimi_path=getattr(args, "mimi_path", None),
         compute_dtype=dtype,
         quantize=getattr(args, "int8", False),
         kv_int8=getattr(args, "kv_int8", False),
+        args=margs,
     )

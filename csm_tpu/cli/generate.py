@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only quantization (~1.6x faster decode)")
+    p.add_argument("--flavor", choices=("1b", "tiny"), default="1b",
+                   help="Model shape for --model-path checkpoints: 1b "
+                        "(default) or tiny (tiny layers, full 1B token "
+                        "geometry — the file-format test fixture)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache (quantize at write; halves the "
                         "decode-time cache HBM stream)")

@@ -361,8 +361,12 @@ def load_csm_1b(
     compute_dtype=jnp.bfloat16,
     quantize: bool = False,
     kv_int8: bool = False,
+    args: Optional[ModelArgs] = None,
 ) -> Generator:
     """Build a CSM-1B Generator (reference: src/csm/generator.py:221-244).
+
+    ``args`` — model shape override (default ``csm_1b_args()``; e.g.
+    ``tiny_file_args()`` for the file-format fixture flavor).
 
     ``ckpt_path`` — reference ``ckpt.pt`` (torchtune names) or an orbax
     checkpoint directory; None → random init (no network egress here, so
@@ -375,7 +379,7 @@ def load_csm_1b(
     """
     from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_init
 
-    args = csm_1b_args()
+    args = args or csm_1b_args()
     if ckpt_path is None:
         params = jax.jit(lambda: _cast(_random_params(args), compute_dtype))()
     elif ckpt_path.endswith(".pt"):

@@ -229,3 +229,17 @@ def tiny_test_args(
             max_seq_len=128,
         ),
     )
+
+
+def tiny_file_args() -> ModelArgs:
+    """Tiny layer sizes with the FULL 1B token geometry (K=32, audio
+    vocab 2051, text vocab 128256): checkpoints exported with these args
+    carry the exact key set and token-space shapes of the real ``ckpt.pt``
+    (reference src/csm/generator.py:221-244) at unit-test cost — the
+    file-level checkpoint-format fixture (csm-generate --flavor tiny;
+    tests/test_file_checkpoint_e2e.py)."""
+    return tiny_test_args(
+        audio_num_codebooks=32,
+        text_vocab_size=128_256,
+        audio_vocab_size=2051,
+    )
