@@ -10,6 +10,7 @@ import json
 
 import jax
 import numpy as np
+import pytest
 import torch
 
 from csm_tpu.ops.sampling import sample_topk
