@@ -67,6 +67,73 @@ def make_mock_batch(args: ModelArgs, B: int, T: int, seed: int = 0) -> Batch:
                  jnp.asarray(tmask))
 
 
+def peak_tflops_per_device(dtype="bf16") -> float:
+    """Advertised peak matmul TFLOP/s of the attached device (the MFU
+    denominator).  Unknown kinds fall back to v5e's 197 bf16 TFLOP/s."""
+    kind = jax.devices()[0].device_kind.lower()
+    bf16 = 197.0  # v5e default
+    table = {
+        "v5 lite": 197.0, "v5lite": 197.0, "v5e": 197.0,
+        "v4": 275.0,
+        "v5p": 459.0, "v5": 459.0,
+        "v6 lite": 918.0, "v6e": 918.0,
+    }
+    for k, v in table.items():
+        if k in kind:
+            bf16 = v
+            break
+    return bf16 * (2.0 if dtype == "int8" else 1.0)
+
+
+def train_flops_per_step(
+    args: ModelArgs,
+    batch_size: int,
+    seq_len: int,
+    lora: bool = False,
+    amortization_ratio: int = 16,
+) -> float:
+    """Analytic MODEL FLOPs of one training step (the MFU numerator).
+
+    Counts matmul FLOPs only (2*M*N*K per matmul; elementwise/gather work
+    is bandwidth, not MXU flops), fwd + backward:
+
+      * full fine-tune: backward = dX + dW = 2x forward -> 3x fwd total
+        (the standard 6N-per-token accounting);
+      * LoRA: frozen base skips dW -> 2x fwd total on base matmuls
+        (adapter matmuls are negligible at r<=64).
+
+    Model FLOPs deliberately EXCLUDE remat recompute — MFU measures
+    useful work, so remat shows up as lower MFU, matching the standard
+    definition (PaLM appendix B).  Causal attention is counted at T/2.
+    """
+    B, T, K = batch_size, seq_len, args.audio_num_codebooks
+
+    def layer_matmul(cfg):
+        E, I = cfg.embed_dim, cfg.intermediate_dim
+        qd = cfg.num_heads * cfg.head_dim
+        kvd = cfg.num_kv_heads * cfg.head_dim
+        return E * qd + 2 * E * kvd + qd * E + 3 * E * I
+
+    bb, dec = args.backbone, args.decoder
+    bwd_mult = 2.0 if lora else 3.0
+
+    # backbone: matmuls per token + causal attention (scores + AV)
+    fwd = B * T * bb.num_layers * layer_matmul(bb)
+    attn = B * bb.num_layers * (T * (T / 2) * bb.num_heads * bb.head_dim * 2)
+    # c0 head over every position
+    fwd += B * T * bb.embed_dim * args.audio_vocab_size
+    total = 2.0 * (fwd + attn) * bwd_mult
+
+    # amortized acoustic decoder: n_sub frames x K positions
+    n_sub = max(1, (B * T) // amortization_ratio)
+    dfwd = n_sub * K * dec.num_layers * layer_matmul(dec)
+    dfwd += n_sub * K * bb.embed_dim * dec.embed_dim  # projection
+    dfwd += n_sub * (K - 1) * dec.embed_dim * args.audio_vocab_size  # heads
+    dattn = n_sub * dec.num_layers * K * (K / 2) * dec.num_heads * dec.head_dim * 2
+    total += 2.0 * (dfwd + dattn) * bwd_mult
+    return total
+
+
 def _timed_steps(step_fn, state, extra, batch, n_steps: int):
     # warmup/compile
     state, m = step_fn(state, *extra, jax.random.key(0), batch)
@@ -111,6 +178,7 @@ def run_lora_benchmark(
                     )
                     n_lora = lora_mod.count_params(lora)
                     mem = hbm_stats()
+                    flops = train_flops_per_step(args, B, T, lora=True)
                     results.append({
                         "name": cfg.name,
                         "lora_r": r,
@@ -119,6 +187,9 @@ def run_lora_benchmark(
                         "seq_len": T,
                         "step_time_s": round(dt, 5),
                         "tokens_per_s": round(B * T / dt, 1),
+                        "mfu_pct": round(
+                            100 * flops / dt / (peak_tflops_per_device() * 1e12), 2
+                        ),
                         "trainable_params": n_lora,
                         "param_efficiency_pct": round(100 * n_lora / base_count, 4),
                         **mem,
@@ -241,6 +312,15 @@ def run_stack_benchmark(
         dt, state = _timed_steps(step, state, (params,), batch, steps)
     out["train_step_s"] = round(dt, 5)
     out["train_tokens_per_s"] = round(batch_size * seq_len / dt, 1)
+    # MFU: analytic model FLOPs (train_flops_per_step; excludes remat
+    # recompute) over the device's advertised bf16 peak
+    flops = train_flops_per_step(
+        args, batch_size, seq_len, lora=not full_fits
+    )
+    peak = peak_tflops_per_device()
+    out["train_model_tflops_per_s"] = round(flops / dt / 1e12, 1)
+    out["train_mfu_pct"] = round(100 * flops / dt / (peak * 1e12), 2)
+    out["peak_tflops_assumed"] = peak
     out.update(hbm_stats())
 
     # generation
