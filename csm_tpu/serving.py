@@ -430,10 +430,48 @@ class BatchedServer:
         The KV-cache copy is ~tens of MB per slot, ≪ one chunk's weight
         reads; the payoff is that a 64-slot server with one live stream
         decodes at the 1-slot rate instead of paying full-batch compute.
+
+        On a mesh, ``c`` is a multiple of the data-axis size
+        (_decode_capacity) and the compacted state is sharding-constrained
+        back onto the mesh (slots over ``data``) — the cross-group gather
+        rides ICI; a mostly-idle multi-chip server then decodes at the
+        right-sized cost too.
         """
         if c in self._compactors:
             return self._compactors[c]
         n = self.n_slots
+        constrain_state = constrain_slots = lambda x: x
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from csm_tpu.parallel.inference import frame_state_specs
+
+            mesh = self.mesh
+
+            def constrain_state(state):  # noqa: F811
+                specs = frame_state_specs(
+                    per_row_offset=True, cache=state.cache
+                )
+                return jax.tree.map(
+                    lambda s, x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, s)
+                    ),
+                    specs, state,
+                    is_leaf=lambda x: isinstance(x, P),
+                )
+
+            def constrain_slots(slots):  # noqa: F811
+                d = lambda *s: NamedSharding(mesh, P(*s))  # noqa: E731
+                return SlotState(
+                    last_frame=jax.lax.with_sharding_constraint(
+                        slots.last_frame, d("data", None)
+                    ),
+                    pos=jax.lax.with_sharding_constraint(slots.pos, d("data")),
+                    live=jax.lax.with_sharding_constraint(slots.live, d("data")),
+                    remaining=jax.lax.with_sharding_constraint(
+                        slots.remaining, d("data")
+                    ),
+                )
 
         def gather(state: csm.FrameState, slots: SlotState, idx):
             t0 = lambda x: jnp.take(x, idx, axis=0, mode="clip")  # noqa: E731
@@ -450,7 +488,7 @@ class BatchedServer:
                 live=t0(slots.live) & (idx < n),
                 remaining=t0(slots.remaining),
             )
-            return sub_state, sub_slots
+            return constrain_state(sub_state), constrain_slots(sub_slots)
 
         def scatter(state: csm.FrameState, slots: SlotState,
                     sub_state: csm.FrameState, sub_slots: SlotState, idx):
@@ -471,7 +509,7 @@ class BatchedServer:
                 live=p0(slots.live, sub_slots.live),
                 remaining=p0(slots.remaining, sub_slots.remaining),
             )
-            return state, slots
+            return constrain_state(state), constrain_slots(slots)
 
         fns = (
             jax.jit(gather),
@@ -486,12 +524,16 @@ class BatchedServer:
     def _decode_capacity(self, n_live: int) -> int:
         """Smallest power-of-two decode batch that fits the live slots —
         or ``n_slots`` (the uncompacted program) when compaction can't
-        at least halve the batch or a mesh pins slots to devices."""
-        if self.mesh is not None:
-            return self.n_slots
+        at least halve the batch.  On a mesh the capacity is additionally
+        rounded up to a multiple of the data-axis size (slots stay evenly
+        sharded; the gather redistributes live slots across groups)."""
         c = 1
         while c < n_live:
             c *= 2
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            c = max(c, n_data)
+            c = ((c + n_data - 1) // n_data) * n_data
         return c if c <= self.n_slots // 2 else self.n_slots
 
     def step(self) -> List[StreamResult]:

@@ -212,3 +212,58 @@ def test_fullsize_1b_sharded_step_compiles():
         extra_env={"CSM_DRYRUN_FULLSIZE": "1"},
     )
     assert "1B FULL-SIZE sharded step compiles" in out
+
+
+@pytest.mark.multichip
+def test_sharded_compacted_serving_matches_single_device():
+    """Idle-slot compaction ON A MESH (VERDICT round-2 item #8): a
+    mostly-idle 8-slot server over a data=2 mesh compacts its live slots
+    into a right-sized decode program (capacity a multiple of the data
+    axis, state sharding-constrained back onto the mesh) and still emits
+    exactly the unsharded server's tokens."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.mesh import make_mesh
+from csm_tpu.serving import BatchedServer, StreamRequest
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+def reqs():
+    rng = np.random.default_rng(5)
+    out = []
+    for rid in range(2):
+        T = 5 + rid
+        tokens = np.zeros((T, K + 1), np.int32)
+        mask = np.zeros((T, K + 1), bool)
+        tokens[:, -1] = rng.integers(1, args.text_vocab_size, T)
+        mask[:, -1] = True
+        out.append(StreamRequest(tokens, mask, max_frames=6, request_id=rid))
+    return out
+
+kw = dict(n_slots=8, max_seq_len=128, temperature=1.0, topk=1,
+          compute_dtype=jnp.float32, chunk_size=2)
+srv1 = BatchedServer(params, args, **kw)
+r1, _ = srv1.run(reqs())
+
+mesh = make_mesh(jax.devices()[:2], model_parallel=1)  # data=2
+srv2 = BatchedServer(params, args, mesh=mesh, **kw)
+assert srv2._decode_capacity(1) == 2, srv2._decode_capacity(1)
+assert srv2._decode_capacity(3) == 4
+assert srv2._decode_capacity(5) == 8  # > n_slots//2: uncompacted
+r2, _ = srv2.run(reqs())
+assert srv2._compactors, "mesh compaction never engaged"
+
+by1 = {r.request_id: r.frames for r in r1}
+by2 = {r.request_id: r.frames for r in r2}
+assert set(by1) == set(by2) == {0, 1}
+for rid in by1:
+    np.testing.assert_array_equal(by1[rid], by2[rid])
+print("mesh compaction parity OK")
+"""
+    )
+    assert "mesh compaction parity OK" in out
