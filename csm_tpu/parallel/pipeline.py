@@ -155,11 +155,19 @@ def _pipeline_local(
     n_microbatches: int,
     lora_scale: float,
     remat: bool,
+    lora_dropout_rate: float = 0.0,
+    lora_dropout_key=None,
 ):
     """Per-device pipeline body (call inside shard_map).
 
     stacked: this stage's (L/P, ...) layer block; h_loc: the local
     (B/dp, T, E) batch shard, replicated over ``pipe``.
+
+    LoRA dropout keys are derived per (GLOBAL layer, pipeline step):
+    stage ``s``'s local layer ``i`` is global layer ``s*L/P + i``, and
+    folding in the schedule step gives every microbatch an independent
+    mask (masks can't be bit-identical to the single-device path — batch
+    slicing differs — but the rate and independence match).
     """
     n_stages = jax.lax.axis_size(PIPE_AXIS)
     stage_idx = jax.lax.axis_index(PIPE_AXIS)
@@ -170,19 +178,31 @@ def _pipeline_local(
     mb = B // M
     h_mb = h_loc.reshape(M, mb, T, E)
 
-    def layer_body(carry, x):
-        lp, lo = x
+    drop_on = lora_dropout_key is not None and lora_dropout_rate > 0.0
+    n_local = stacked["wq"].shape[0]
+    layer_ids = stage_idx * n_local + jnp.arange(n_local)
+
+    def layer_body(t, carry, x):
+        lp, lo, lid = x
+        lk = (
+            jax.random.fold_in(jax.random.fold_in(lora_dropout_key, lid), t)
+            if drop_on else None
+        )
         h_new, _ = _layer_forward(
             carry, lp, cfg, cos, sin, mask, None, None,
             lora=lo, lora_scale=lora_scale,
+            lora_dropout_rate=lora_dropout_rate if drop_on else 0.0,
+            lora_key=lk,
         )
         return h_new, None
 
     if remat:
         layer_body = jax.checkpoint(layer_body)
 
-    def run_stage(x):
-        y, _ = jax.lax.scan(layer_body, x, (stacked, lora))
+    def run_stage(x, t):
+        y, _ = jax.lax.scan(
+            functools.partial(layer_body, t), x, (stacked, lora, layer_ids)
+        )
         return y
 
     fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -195,7 +215,7 @@ def _pipeline_local(
             h_mb, jnp.clip(t, 0, M - 1), 0, keepdims=False
         )
         x_in = jnp.where(stage_idx == 0, inject, carry)
-        y = run_stage(x_in)
+        y = run_stage(x_in, t)
         nxt = jax.lax.ppermute(y, PIPE_AXIS, fwd)
         return nxt, y
 
@@ -222,6 +242,8 @@ def pipelined_transformer(
     lora: Optional[dict] = None,
     lora_scale: float = 0.0,
     remat: bool = False,
+    lora_dropout_rate: float = 0.0,
+    lora_dropout_key=None,
 ) -> jnp.ndarray:
     """Pipeline-parallel ``transformer_apply`` (full-sequence, no cache).
 
@@ -254,18 +276,27 @@ def pipelined_transformer(
         lambda _: P(PIPE_AXIS), lora
     )
 
-    f = jax.shard_map(
-        functools.partial(
-            _pipeline_local,
+    drop_on = lora_dropout_key is not None and lora_dropout_rate > 0.0
+
+    def local(stacked, lora, h, cos, sin, mask, dkey):
+        return _pipeline_local(
+            stacked, lora, h, cos, sin, mask,
             cfg=cfg,
             n_microbatches=n_microbatches,
             lora_scale=lora_scale,
             remat=remat,
-        ),
+            lora_dropout_rate=lora_dropout_rate if drop_on else 0.0,
+            lora_dropout_key=dkey if drop_on else None,
+        )
+
+    f = jax.shard_map(
+        local,
         mesh=mesh,
-        in_specs=(stacked_spec, lora_spec, P(data, None, None), P(), P(), P()),
+        in_specs=(stacked_spec, lora_spec, P(data, None, None), P(), P(),
+                  P(), P()),
         out_specs=P(data, None, None),
         check_vma=False,
     )
-    h = f(stacked, lora, h, cos, sin, mask)
+    h = f(stacked, lora, h, cos, sin, mask,
+          lora_dropout_key if drop_on else jnp.zeros((), jnp.uint32))
     return rms_norm(h, params["norm"], cfg.norm_eps)

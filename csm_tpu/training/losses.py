@@ -140,16 +140,14 @@ def compute_loss(
     if pp_mesh is not None:
         if seq_mesh is not None:
             raise ValueError("pp_mesh and seq_mesh are mutually exclusive")
-        if drop_on:
-            raise NotImplementedError(
-                "LoRA dropout is not plumbed through the pipeline stages"
-            )
         from csm_tpu.parallel.pipeline import pipelined_transformer
 
         h = pipelined_transformer(
             params["backbone"], bb, h, positions[0], pp_mesh, pp_microbatches,
             lora=None if lora is None else lora.get("backbone"),
             lora_scale=lora_scale, remat=remat,
+            lora_dropout_rate=lora_dropout if drop_on else 0.0,
+            lora_dropout_key=k_bb_drop if drop_on else None,
         )  # (B, T, E_b)
     else:
         if seq_mesh is not None:
