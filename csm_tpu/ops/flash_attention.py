@@ -6,11 +6,18 @@ backbone); this kernel keeps scores in VMEM per q-block, reading K/V once
 per (batch, kv-head) and writing only the (B, S, Hq, D) output.
 
 Design (per /opt/skills/guides/pallas_guide.md):
-  * grid (B, Hq, Sq/BQ); q blocks (BQ, D) stream; each program holds the
-    FULL K/V for its kv-head in VMEM (T ≤ 2048+frames ⇒ ≤ ~0.6 MB each in
-    bf16) — the kv-head block's index map is constant in the q-block
-    coordinate, so Pallas keeps it resident across the inner grid axis
-    instead of re-fetching;
+  * grid (B, Hkv, Sq/BQ): one program covers ALL qpk = Hq/Hkv query heads
+    of a kv group, rows stacked into (qpk*BQ, D) operands — at the CSM
+    head_dim of 64 the per-head dots are too small to cover program
+    overhead, so stacking measures 1.5× fwd / 2.4× fwd+bwd at the
+    backbone training shape (scripts/bench_flash_micro.py, v5e);
+    each program holds the FULL K/V for its
+    kv-head in VMEM (T ≤ 2048+frames ⇒ ≤ ~0.6 MB each in bf16) — the
+    kv-head block's index map is constant in the q-block coordinate, so
+    Pallas keeps it resident across the inner grid axis instead of
+    re-fetching;
+  * matmuls run at operand-native MXU precision (``_dot``): bf16 inputs
+    take the single-pass bf16×bf16→f32 mode with f32 accumulation;
   * masking is computed on the fly from integer positions
     (``kv_pos <= q_pos``) — the same PAD_POS sentinel contract as
     csm_tpu.ops.attention.causal_mask_from_positions, with no (S, T)
@@ -24,9 +31,9 @@ Differentiation (round-2): full Pallas backward — the forward also emits
 the per-row log-sum-exp ``L = m + log l`` so the backward never
 materializes (B, Hq, S, T) scores in HBM either.  Two kernels:
 
-  * dq: grid (B, Hq, Sq/BQ), K/V VMEM-resident per kv-head (as forward);
-    per KV chunk recompute ``p = exp(s − L)``, ``ds = p (dO·Vᵀ − D)``,
-    accumulate ``dq += ds·K``;
+  * dq: grid (B, Hkv, Sq/BQ), head-stacked like the forward, K/V
+    VMEM-resident per kv-head; per KV chunk recompute ``p = exp(s − L)``,
+    ``ds = p (dO·Vᵀ − D)``, accumulate ``dq += ds·K``;
   * dk/dv: grid (B, Hkv, T/BK), the kv-group's Q/dO/L/D VMEM-resident;
     per q chunk accumulate ``dv += pᵀ dO`` and ``dk += dsᵀ q·scale``
     summing over the group's query heads (the GQA reduction).
@@ -55,23 +62,54 @@ NEG_INF = -1e30  # python float: jnp constants can't be captured by kernels
 L_EMPTY = 1e30  # L sentinel for fully-masked rows: exp(s - L_EMPTY) == 0
 
 
+def _dot(a, b, dims):
+    """Matmul with f32 accumulation at operand-native MXU speed.
+
+    bf16 operands take the MXU's single-pass bf16×bf16→f32 mode (exact for
+    bf16 inputs — casting them to f32 first and running the multi-pass f32
+    mode computes the SAME products ~6× slower).  f32 operands keep
+    Precision.HIGHEST so the f32 parity oracle stays bit-meaningful."""
+    # bf16 gets an EXPLICIT Precision.DEFAULT: None would inherit
+    # jax_default_matmul_precision (the test conftest sets "highest",
+    # which Mosaic rejects for bf16 operands).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if a.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
+def _stacked_qpos(qpos_ref, qpk, BQ):
+    """Query positions for a head-stacked row block: the group's qpk query
+    heads share positions, so the (BQ,) block tiles to (qpk*BQ, 1).
+    Sublane-axis concatenate — Mosaic can't shape-cast (qpk, BQ) → (R, 1)."""
+    qpos = qpos_ref[0, 0].reshape(BQ, 1)
+    return jnp.concatenate([qpos] * qpk, axis=0) if qpk > 1 else qpos
+
+
 def _kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k):
     """Online-softmax over KV chunks with causal chunk skipping.
 
-    K/V for this program's kv-head are fully VMEM-resident; chunks whose
-    minimum key position exceeds the block's maximum query position are
-    skipped entirely (≈2x for causal self-attention).  Standard flash
-    rescaling erases any contribution accumulated while a row was still
-    fully masked (alpha → 0 on the first real chunk).
+    One program handles ALL qpk query heads of one kv group (rows stacked:
+    the q block is (qpk, BQ, D) flattened to (qpk*BQ, D)) — 1/qpk-th the
+    programs and qpk× larger MXU ops vs a per-q-head grid, and K/V are
+    fetched once per group.  K/V for the group are fully VMEM-resident;
+    chunks whose minimum key position exceeds the block's maximum query
+    position are skipped entirely (≈2x for causal self-attention).
+    Standard flash rescaling erases any contribution accumulated while a
+    row was still fully masked (alpha → 0 on the first real chunk).
     """
-    BQ = q_ref.shape[2]
-    D = q_ref.shape[3]
+    qpk, BQ, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     T = k_ref.shape[2]
+    R = qpk * BQ
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
 
-    q = q_ref[0, 0].astype(f32) * scale  # (BQ, D)
-    qpos = qpos_ref[0, 0].reshape(BQ, 1)  # (BQ, 1)
+    q = q_ref[0, 0].reshape(R, D)  # operand-native dtype; scale post-dot
+    qpos = _stacked_qpos(qpos_ref, qpk, BQ)  # (R, 1)
     qmax = jnp.max(qpos)
 
     def chunk(j, carry):
@@ -80,35 +118,31 @@ def _kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, blo
 
         def compute(carry):
             m, l, acc = carry
-            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(f32)
-            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(f32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            )  # (BQ, BK)
+            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
             s = jnp.where(kpos_c.reshape(1, -1) <= qpos, s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            )
+            acc = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
             return m_new, l, acc
 
         return jax.lax.cond(
             jnp.min(kpos_c) <= qmax, compute, lambda c: c, carry
         )
 
-    m0 = jnp.full((BQ, 1), NEG_INF, f32)
-    l0 = jnp.zeros((BQ, 1), f32)
-    acc0 = jnp.zeros((BQ, D), f32)
+    m0 = jnp.full((R, 1), NEG_INF, f32)
+    l0 = jnp.zeros((R, 1), f32)
+    acc0 = jnp.zeros((R, D), f32)
     m, l, acc = jax.lax.fori_loop(0, T // block_k, chunk, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(qpk, BQ, D).astype(
+        o_ref.dtype
+    )
     # log-sum-exp per row for the backward: p = exp(s - L)
     L = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), L_EMPTY)
-    l_ref[0, 0] = L  # (BQ, 1)
+    l_ref[0, 0] = L.reshape(qpk, BQ, 1)
 
 
 def _pad_to(x, axis, mult, value=0):
@@ -121,16 +155,25 @@ def _pad_to(x, axis, mult, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _flash_fwd(q, k, v, q_pos, kv_pos, block_q):
+def _blocks(S, T, block_q):
+    BQ = min(block_q, max(128, 1 << (S - 1).bit_length()))
+    BK = min(512, max(128, 1 << (T - 1).bit_length()))
+    return BQ, BK
+
+
+def _grouped_layout(q, k, v, q_pos, kv_pos, BQ, BK):
+    """Shared fwd/bwd layout prep: head-grouped tensors + padded positions.
+
+    Returns qt (B, Hkv, qpk, S_pad, D), kt/vt (B, Hkv, T_pad, D), and
+    (q_pos_p, kv_pos_p) as (B, 1, len) int32.  GQA query heads h with the
+    same h // qpk are adjacent in the (B, Hq, ...) layout, so the group
+    reshape is free."""
     B, S, Hq, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
     qpk = Hq // Hkv
-    scale = 1.0 / (D**0.5)
-
-    BQ = min(block_q, max(128, 1 << (S - 1).bit_length()))
-    BK = min(512, max(128, 1 << (T - 1).bit_length()))
-    # layouts: (B, H, S, D); pad S to BQ, T to the kv-chunk size
     qt = _pad_to(q.transpose(0, 2, 1, 3), 2, BQ)
+    S_pad = qt.shape[2]
+    qt = qt.reshape(B, Hkv, qpk, S_pad, D)
     kt = _pad_to(k.transpose(0, 2, 1, 3), 2, BK)
     vt = _pad_to(v.transpose(0, 2, 1, 3), 2, BK)
     # padded kv slots carry a sentinel > any real position => never attended
@@ -139,53 +182,62 @@ def _flash_fwd(q, k, v, q_pos, kv_pos, block_q):
     # they must not defeat the chunk-skip bound (a huge sentinel would)
     q_pos_p = _pad_to(q_pos.astype(jnp.int32), 1, BQ, value=jnp.int32(-1))
     # 3-D so the block's last two dims satisfy the (8, 128) tiling rule
-    q_pos_p = q_pos_p[:, None, :]
-    kv_pos_p = kv_pos_p[:, None, :]
+    return qt, kt, vt, q_pos_p[:, None, :], kv_pos_p[:, None, :]
 
-    S_pad, T_pad = qt.shape[2], kt.shape[2]
-    grid = (B, Hq, S_pad // BQ)
+
+def _flash_fwd(q, k, v, q_pos, kv_pos, block_q):
+    B, S, Hq, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    qpk = Hq // Hkv
+    scale = 1.0 / (D**0.5)
+
+    BQ, BK = _blocks(S, T, block_q)
+    qt, kt, vt, q_pos_p, kv_pos_p = _grouped_layout(q, k, v, q_pos, kv_pos, BQ, BK)
+    S_pad, T_pad = qt.shape[3], kt.shape[2]
+    grid = (B, Hkv, S_pad // BQ)
 
     out, L = pl.pallas_call(
         functools.partial(_kernel, scale=scale, block_k=BK),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, BQ), lambda b, h, i: (b, 0, i), memory_space=pltpu.VMEM
+                (1, 1, BQ), lambda b, g, i: (b, 0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, T_pad), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, T_pad), lambda b, g, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, BQ, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, T_pad, D),
-                lambda b, h, i, qpk=qpk: (b, h // qpk, 0, 0),
+                (1, 1, qpk, BQ, D), lambda b, g, i: (b, g, 0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, T_pad, D),
-                lambda b, h, i, qpk=qpk: (b, h // qpk, 0, 0),
+                (1, 1, T_pad, D), lambda b, g, i: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, T_pad, D), lambda b, g, i: (b, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, BQ, D), lambda b, h, i: (b, h, i, 0),
+                (1, 1, qpk, BQ, D), lambda b, g, i: (b, g, 0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 # trailing singleton keeps the (sublane, lane) block dims legal
-                (1, 1, BQ, 1), lambda b, h, i: (b, h, i, 0),
+                (1, 1, qpk, BQ, 1), lambda b, g, i: (b, g, 0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq, S_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, S_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, qpk, S_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, qpk, S_pad, 1), jnp.float32),
         ),
     )(q_pos_p, kv_pos_p, qt, kt, vt)
 
+    out = out.reshape(B, Hq, S_pad, D)
+    L = L.reshape(B, Hq, S_pad, 1)
     # (B, S, Hq, D), (B, Hq, S)
     return out[:, :, :S, :].transpose(0, 2, 1, 3), L[:, :, :S, 0]
 
@@ -196,50 +248,41 @@ def _dq_kernel(
 ):
     """dq: recompute p = exp(s − L) per KV chunk, dq += ds·K·scale.
 
-    Same residency plan as the forward: K/V for this program's kv-head stay
-    in VMEM across the inner (q-block) grid axis; causal chunk skipping via
-    the kv-chunk's minimum position vs the q-block's maximum.
+    Head-stacked like the forward: one program covers the kv group's qpk
+    query heads; K/V stay VMEM-resident across the inner (q-block) grid
+    axis; causal chunk skipping via the kv-chunk's minimum position vs the
+    q-block's maximum.
     """
-    BQ = q_ref.shape[2]
-    D = q_ref.shape[3]
+    qpk, BQ, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     T = k_ref.shape[2]
+    R = qpk * BQ
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
 
-    qs = q_ref[0, 0].astype(f32) * scale  # (BQ, D)
-    do = do_ref[0, 0].astype(f32)  # (BQ, D)
-    L = l_ref[0, 0]  # (BQ, 1)
-    Dr = d_ref[0, 0]  # (BQ, 1)
-    qpos = qpos_ref[0, 0].reshape(BQ, 1)
+    q = q_ref[0, 0].reshape(R, D)  # native dtype; scale folded in post-dot
+    do = do_ref[0, 0].reshape(R, D)
+    L = l_ref[0, 0].reshape(R, 1)
+    Dr = d_ref[0, 0].reshape(R, 1)
+    qpos = _stacked_qpos(qpos_ref, qpk, BQ)  # (R, 1)
     qmax = jnp.max(qpos)
 
     def chunk(j, acc):
         kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]  # (BK,)
 
         def compute(acc):
-            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(f32)
-            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(f32)
-            s = jax.lax.dot_general(
-                qs, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            )  # (BQ, BK)
+            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+            s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
             s = jnp.where(kpos_c.reshape(1, -1) <= qpos, s, NEG_INF)
             p = jnp.exp(s - L)  # masked/empty rows: exp(−huge) == 0
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            )  # (BQ, BK)
+            dp = _dot(do, v, ((1,), (1,)))  # (R, BK) f32
             ds = p * (dp - Dr)
-            return acc + jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            ) * scale
+            return acc + _dot(ds.astype(k.dtype), k, ((1,), (0,))) * scale
 
         return jax.lax.cond(jnp.min(kpos_c) <= qmax, compute, lambda a: a, acc)
 
-    acc0 = jnp.zeros((BQ, D), f32)
+    acc0 = jnp.zeros((R, D), f32)
     acc = jax.lax.fori_loop(0, T // block_k, chunk, acc0)
-    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+    dq_ref[0, 0] = acc.reshape(qpk, BQ, D).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -250,50 +293,48 @@ def _dkv_kernel(
 
     The kv-group's full Q/dO/L/D rows are VMEM-resident (their index maps
     are constant in the key-block grid axis); the GQA reduction over the
-    group's ``qpk`` query heads is a static Python loop.  A q chunk whose
-    maximum position is below the key block's minimum contributes nothing
-    and is skipped (the causal transpose of the forward skip).
+    group's ``qpk`` query heads happens inside the matmuls — per q chunk
+    the group's heads are stacked into one (qpk*BQc, ·) operand, so
+    ``dv += pᵀ·dO`` / ``dk += dsᵀ·q`` sum over heads automatically.  A q
+    chunk whose maximum position is below the key block's minimum
+    contributes nothing and is skipped (the causal transpose of the
+    forward skip).
     """
     BK = k_ref.shape[2]
     D = k_ref.shape[3]
-    S = q_ref.shape[2]
+    S = q_ref.shape[3]
+    R = qpk * block_q
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
 
-    k = k_ref[0, 0].astype(f32)  # (BK, D)
-    v = v_ref[0, 0].astype(f32)
+    k = k_ref[0, 0]  # (BK, D) native dtype
+    v = v_ref[0, 0]
     kpos = kpos_ref[0, 0].reshape(1, BK)
     kmin = jnp.min(kpos)
 
     def chunk(i, carry):
-        qpos_c = qpos_ref[0, 0, pl.ds(i * block_q, block_q)].reshape(block_q, 1)
+        qpos_c = qpos_ref[0, 0, pl.ds(i * block_q, block_q)]  # (BQc,)
+        qpos_2d = qpos_c.reshape(block_q, 1)
+        qpos_s = (
+            jnp.concatenate([qpos_2d] * qpk, axis=0) if qpk > 1 else qpos_2d
+        )
 
         def compute(carry):
             dk_acc, dv_acc = carry
-            for h in range(qpk):
-                qs = q_ref[0, h, pl.ds(i * block_q, block_q), :].astype(f32) * scale
-                do = do_ref[0, h, pl.ds(i * block_q, block_q), :].astype(f32)
-                L = l_ref[0, h, pl.ds(i * block_q, block_q), :]  # (BQc, 1)
-                Dr = d_ref[0, h, pl.ds(i * block_q, block_q), :]  # (BQc, 1)
-                s = jax.lax.dot_general(
-                    qs, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32, precision=hi,
-                )  # (BQc, BK)
-                s = jnp.where(kpos <= qpos_c, s, NEG_INF)
-                p = jnp.exp(s - L)
-                dv_acc = dv_acc + jax.lax.dot_general(
-                    p, do, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32, precision=hi,
-                )  # pᵀ·dO: (BK, D)
-                dp = jax.lax.dot_general(
-                    do, v, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32, precision=hi,
-                )  # (BQc, BK)
-                ds = p * (dp - Dr)
-                dk_acc = dk_acc + jax.lax.dot_general(
-                    ds, qs, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32, precision=hi,
-                )  # dsᵀ·(q·scale): (BK, D)
+            q = q_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, D)
+            do = do_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, D)
+            L = l_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, 1)
+            Dr = d_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, 1)
+            s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
+            s = jnp.where(kpos <= qpos_s, s, NEG_INF)
+            p = jnp.exp(s - L)
+            dv_acc = dv_acc + _dot(
+                p.astype(do.dtype), do, ((0,), (0,))
+            )  # pᵀ·dO: (BK, D), summed over the group's heads
+            dp = _dot(do, v, ((1,), (1,)))  # (R, BK) f32
+            ds = p * (dp - Dr)
+            dk_acc = dk_acc + _dot(
+                ds.astype(q.dtype), q, ((0,), (0,))
+            ) * scale  # dsᵀ·q·scale: (BK, D)
             return dk_acc, dv_acc
 
         return jax.lax.cond(jnp.max(qpos_c) >= kmin, compute, lambda c: c, carry)
@@ -315,81 +356,67 @@ def _flash_bwd_pallas(q, k, v, q_pos, kv_pos, out, L, g, block_q, g_lse=None):
     qpk = Hq // Hkv
     scale = 1.0 / (D**0.5)
 
-    BQ = min(block_q, max(128, 1 << (S - 1).bit_length()))
-    BK = min(512, max(128, 1 << (T - 1).bit_length()))
-
-    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, BQ)
-    dot = _pad_to(g.transpose(0, 2, 1, 3), 2, BQ)  # dO
-    kt = _pad_to(k.transpose(0, 2, 1, 3), 2, BK)
-    vt = _pad_to(v.transpose(0, 2, 1, 3), 2, BK)
+    BQ, BK = _blocks(S, T, block_q)
+    qt, kt, vt, q_pos_p, kv_pos_p = _grouped_layout(q, k, v, q_pos, kv_pos, BQ, BK)
+    S_pad, T_pad = qt.shape[3], kt.shape[2]
+    dot = _pad_to(g.transpose(0, 2, 1, 3), 2, BQ).reshape(B, Hkv, qpk, S_pad, D)
     # D row-sums: Σ_d dO·O per (B, S, Hq) — cheap elementwise, done in XLA
     Dr = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     if g_lse is not None:  # g_lse is (B, Hq, S); Dr is (B, S, Hq) here
         Dr = Dr - g_lse.astype(jnp.float32).transpose(0, 2, 1)
-    Dr = _pad_to(Dr.transpose(0, 2, 1), 2, BQ)[..., None]  # (B, Hq, S_pad, 1)
-    Lp = _pad_to(L, 2, BQ, value=L_EMPTY)[..., None]  # padded rows: p == 0
-    kv_pos_p = _pad_to(kv_pos.astype(jnp.int32), 1, BK, value=jnp.int32(1 << 29))
-    q_pos_p = _pad_to(q_pos.astype(jnp.int32), 1, BQ, value=jnp.int32(-1))
-    q_pos_p = q_pos_p[:, None, :]
-    kv_pos_p = kv_pos_p[:, None, :]
+    Dr = _pad_to(Dr.transpose(0, 2, 1), 2, BQ).reshape(B, Hkv, qpk, S_pad, 1)
+    # padded rows: p == 0
+    Lp = _pad_to(L, 2, BQ, value=L_EMPTY).reshape(B, Hkv, qpk, S_pad, 1)
 
-    S_pad, T_pad = qt.shape[2], kt.shape[2]
+    grp_q = pl.BlockSpec(
+        (1, 1, qpk, BQ, D), lambda b, g, i: (b, g, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    grp_q1 = pl.BlockSpec(
+        (1, 1, qpk, BQ, 1), lambda b, g, i: (b, g, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    grp_kv = pl.BlockSpec(
+        (1, 1, T_pad, D), lambda b, g, i: (b, g, 0, 0), memory_space=pltpu.VMEM
+    )
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=BK),
-        grid=(B, Hq, S_pad // BQ),
+        grid=(B, Hkv, S_pad // BQ),
         in_specs=[
-            pl.BlockSpec((1, 1, BQ), lambda b, h, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T_pad), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BQ, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, T_pad, D), lambda b, h, i, qpk=qpk: (b, h // qpk, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, T_pad, D), lambda b, h, i, qpk=qpk: (b, h // qpk, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1, BQ, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BQ), lambda b, g, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T_pad), lambda b, g, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            grp_q, grp_kv, grp_kv, grp_q, grp_q1, grp_q1,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, BQ, D), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, S_pad, D), q.dtype),
+        out_specs=grp_q,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, qpk, S_pad, D), q.dtype),
     )(q_pos_p, kv_pos_p, qt, kt, vt, dot, Lp, Dr)
+    dq = dq.reshape(B, Hq, S_pad, D)
 
+    # dkv: the group's FULL q/do/L/D rows are resident (constant in j)
+    full_q = pl.BlockSpec(
+        (1, 1, qpk, S_pad, D), lambda b, g, j: (b, g, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full_q1 = pl.BlockSpec(
+        (1, 1, qpk, S_pad, 1), lambda b, g, j: (b, g, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_blk = pl.BlockSpec(
+        (1, 1, BK, D), lambda b, g, j: (b, g, j, 0), memory_space=pltpu.VMEM
+    )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_q=BQ, qpk=qpk),
         grid=(B, Hkv, T_pad // BK),
         in_specs=[
-            pl.BlockSpec((1, 1, S_pad), lambda b, h, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BK), lambda b, h, j: (b, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, qpk, S_pad, D), lambda b, h, j: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, qpk, S_pad, D), lambda b, h, j: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, qpk, S_pad, 1), lambda b, h, j: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, qpk, S_pad, 1), lambda b, h, j: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1, BK, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BK, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), lambda b, g, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK), lambda b, g, j: (b, 0, j), memory_space=pltpu.VMEM),
+            full_q, full_q, full_q1, full_q1, kv_blk, kv_blk,
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, BK, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BK, D), lambda b, h, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(kv_blk, kv_blk),
         out_shape=(
             jax.ShapeDtypeStruct((B, Hkv, T_pad, D), k.dtype),
             jax.ShapeDtypeStruct((B, Hkv, T_pad, D), v.dtype),
         ),
-        # the qpk-way unrolled head loop keeps several (BQ, BK) f32
+        # the head-stacked chunk keeps several (qpk·BQ, BK) f32
         # temporaries live — needs more than the default 16 MiB scoped
         # VMEM budget (v5e has 128 MiB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),

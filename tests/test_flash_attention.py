@@ -45,6 +45,29 @@ def test_parity_with_pad_positions():
     )
 
 
+def test_bf16_parity_with_f32_oracle():
+    """Production dtype: bf16 operands take the MXU's native
+    bf16×bf16→f32 mode (flash_attention._dot).  Bound vs the f32 oracle
+    on the SAME bf16 inputs: softmax probs ∈ [0,1] and f32 accumulation
+    keep the output within a few bf16 ulps."""
+    B, S, Hq, Hkv, D = 2, 512, 8, 2, 64
+    q = rand((B, S, Hq, D), jnp.bfloat16)
+    k = rand((B, S, Hkv, D), jnp.bfloat16, seed=1)
+    v = rand((B, S, Hkv, D), jnp.bfloat16, seed=2)
+    qpos = jnp.broadcast_to(jnp.arange(S), (B, S)).astype(jnp.int32)
+    kvpos = jnp.arange(S, dtype=jnp.int32)
+
+    ref = gqa_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal_mask_from_positions(qpos, kvpos),
+    )
+    out = jax.jit(fa.flash_gqa_attention)(q, k, v, qpos, kvpos)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
 def test_gradient_matches_xla():
     """Pallas backward (dq/dkv kernels) vs XLA autodiff through the
     reference attention.  The two are independent algorithms in f32, so
