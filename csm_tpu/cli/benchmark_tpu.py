@@ -25,6 +25,9 @@ def main(argv=None) -> int:
                    help="Master-weight dtype: f32 (random init) or bf16 "
                         "(fine-tuning from the released bf16 checkpoint — "
                         "full-parameter AdamW then fits one chip)")
+    p.add_argument("--no-ckpt", action="store_true",
+                   help="skip the checkpoint save/load stage (dominates "
+                        "wall time on tunnel-attached hosts)")
     p.add_argument("--output", type=str, default=None, help="JSON output path")
     args = p.parse_args(argv)
 
@@ -40,6 +43,7 @@ def main(argv=None) -> int:
         gen_frames=args.gen_frames,
         steps=args.steps,
         param_dtype=jnp.bfloat16 if args.param_dtype == "bf16" else jnp.float32,
+        ckpt_io=not args.no_ckpt,
     )
     print(json.dumps(results, indent=2))
     if args.output:

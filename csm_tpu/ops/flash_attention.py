@@ -9,7 +9,7 @@ Design (per /opt/skills/guides/pallas_guide.md):
   * grid (B, Hkv, Sq/BQ): one program covers ALL qpk = Hq/Hkv query heads
     of a kv group, rows stacked into (qpk*BQ, D) operands — at the CSM
     head_dim of 64 the per-head dots are too small to cover program
-    overhead, so stacking measures 1.5× fwd / 2.4× fwd+bwd at the
+    overhead, so stacking measures 1.8× fwd / 2.6× fwd+bwd at the
     backbone training shape (scripts/bench_flash_micro.py, v5e);
     each program holds the FULL K/V for its
     kv-head in VMEM (T ≤ 2048+frames ⇒ ≤ ~0.6 MB each in bf16) — the
@@ -234,6 +234,10 @@ def _flash_fwd(q, k, v, q_pos, kv_pos, block_q):
             jax.ShapeDtypeStruct((B, Hkv, qpk, S_pad, D), q.dtype),
             jax.ShapeDtypeStruct((B, Hkv, qpk, S_pad, 1), jnp.float32),
         ),
+        # NOTE: no raised vmem_limit_bytes here — BQ≤256 fits the 16 MiB
+        # default, and raising the limit was measured to slow the Mosaic
+        # compile of this kernel from ~30 s to >10 min (BQ=512 needs it
+        # and is not worth that cold-start tax; BQ=256 times within 3%).
     )(q_pos_p, kv_pos_p, qt, kt, vt)
 
     out = out.reshape(B, Hq, S_pad, D)

@@ -141,7 +141,11 @@ def _timed_steps(step_fn, state, extra, batch, n_steps: int):
     t0 = time.time()
     for i in range(n_steps):
         state, m = step_fn(state, *extra, jax.random.key(i + 1), batch)
-    jax.block_until_ready(m["loss"])
+    # scalar fetch, not block_until_ready: under the axon tunnel the
+    # latter can return before chained dispatches finish (see
+    # scripts/bench_train_flash.py) — a host fetch always forces
+    # completion of the full state chain
+    float(m["loss"])
     return (time.time() - t0) / n_steps, state
 
 
@@ -236,6 +240,7 @@ def run_stack_benchmark(
     steps: int = 5,
     compute_dtype=jnp.bfloat16,
     param_dtype=jnp.float32,
+    ckpt_io: bool = True,
 ) -> dict:
     """Timing of every stage of the stack
     (reference: run_mlx_benchmark.py:313-498).
@@ -340,19 +345,22 @@ def run_stack_benchmark(
     out["gen_frames_per_s"] = round(gen_frames / gen_dt, 1)
     out["gen_rtf"] = round(gen_frames / 12.5 / gen_dt, 2)
 
-    # checkpoint I/O (model params, comparable across train modes)
-    import tempfile
+    # checkpoint I/O (model params, comparable across train modes) —
+    # skippable: on a tunnel-attached host the full-size device↔host
+    # round-trip dominates the whole benchmark's wall time
+    if ckpt_io:
+        import tempfile
 
-    from csm_tpu.training import checkpoint as ckpt
-    from csm_tpu.training.optimizer import TrainState
+        from csm_tpu.training import checkpoint as ckpt
+        from csm_tpu.training.optimizer import TrainState
 
-    ck_state = TrainState(params=params, opt_state=None, step=jnp.int32(0))
-    with tempfile.TemporaryDirectory() as d:
-        t0 = time.time()
-        ckpt.save_checkpoint(d, "bench", ck_state, args)
-        out["ckpt_save_s"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        ckpt.load_checkpoint(os.path.join(d, "bench"))
-        out["ckpt_load_s"] = round(time.time() - t0, 3)
+        ck_state = TrainState(params=params, opt_state=None, step=jnp.int32(0))
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.time()
+            ckpt.save_checkpoint(d, "bench", ck_state, args)
+            out["ckpt_save_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            ckpt.load_checkpoint(os.path.join(d, "bench"))
+            out["ckpt_load_s"] = round(time.time() - t0, 3)
 
     return out

@@ -24,13 +24,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(fn, q, *rest, n=20):
+    """Chained timing: each call's q input is the previous call's output
+    (same shape), so dispatches are neither identical nor reorderable —
+    under the axon tunnel repeated identical dispatches mis-measure.
+    One scalar fetch at the end forces completion of the whole chain."""
+    out = fn(q, *rest)
+    leaf = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(leaf[0, 0, 0]))
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = fn(leaf, *rest)
+        leaf = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(leaf[0, 0, 0]))
     return (time.time() - t0) / n
 
 
