@@ -1,15 +1,14 @@
 """Token sampling.
 
 Reproduces the reference's sampler semantics (src/csm/models/model.py:79-96):
-temperature scaling → top-k threshold mask (ties at the k-th value are KEPT,
-because the mask is ``logits < kth``) → categorical draw via the
-exponential-race trick (``argmax(probs / Exp(1))``), which avoids a device
-sync in torch and is natively jittable here.
-
-Mathematically ``argmax(probs / q)`` with ``q ~ Exp(1)`` equals
-``argmax(log_probs + Gumbel)`` equals ``argmax(masked_logits + Gumbel)``
-(log-softmax subtracts a per-row constant), so we sample via Gumbel-max on
-the masked logits — one fused VPU pass, no softmax needed.
+temperature scaling → top-k threshold → categorical draw over the kept
+set.  The reference implements the draw as an exponential race
+(``argmax(probs / Exp(1))``, i.e. Gumbel-max) to avoid a device sync in
+torch; here the draw is inverse-CDF over the top-k values with ONE
+uniform per row — the same distribution with ~vocab/k times less RNG
+and reduction work per call (this runs 32× per generated frame inside
+the decoder scan; see BENCHMARKS.md).  ``topk_mask``/``topk_probs`` keep
+the reference's keep-ties mask semantics for analysis parity.
 
 The optional ``guard_tokens`` reproduces the MLX backend's "MIMI codec
 safety" guard that forbids tokens 1..31
@@ -65,9 +64,23 @@ def sample_topk(
         lo, hi = guard_tokens
         ids = jnp.arange(logits.shape[-1])
         logits = jnp.where((ids >= lo) & (ids <= hi), NEG_INF, logits)
-    masked = topk_mask(logits, topk)
-    gumbel = jax.random.gumbel(key, masked.shape, dtype=jnp.float32)
-    return jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
+    # Inverse-CDF over the top-k VALUES: one uniform per row instead of a
+    # (…, vocab) Gumbel field + argmax — the per-step sampling cost in the
+    # 31-iteration decoder scan is RNG/VPU work that scales with
+    # batch×vocab, and softmax/cumsum over k=50 values is ~40× less of
+    # it.  Distribution is identical to softmax over the top-k-masked
+    # logits (the reference's semantics) up to ties at the k-th value:
+    # the mask form keeps all tied tokens, top_k keeps exactly k — a
+    # measure-zero event for continuous logits (the torch reference's
+    # own topk makes the same arbitrary tie choice).
+    vals, idx = jax.lax.top_k(logits, topk)  # (…, k) sorted desc
+    p = jax.nn.softmax(vals, axis=-1)
+    c = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, logits.shape[:-1] + (1,), dtype=jnp.float32)
+    j = jnp.minimum(jnp.sum(c < u, axis=-1), topk - 1)  # searchsorted
+    return jnp.take_along_axis(idx, j[..., None], axis=-1)[..., 0].astype(
+        jnp.int32
+    )
 
 
 def sample_categorical(
