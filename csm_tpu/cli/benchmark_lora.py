@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     p.add_argument("--full-size", action="store_true",
                    help="Benchmark CSM-1B instead of the tiny fixture")
     p.add_argument("--output", type=str, default="lora_benchmark.md")
+    p.add_argument("--int8-base", action="store_true",
+                   help="frozen base stored int8 (QLoRA-style; the "
+                        "single-chip 8B fine-tune config)")
     args = p.parse_args(argv)
 
     from csm_tpu.models.config import csm_1b_args, tiny_test_args
@@ -37,6 +40,7 @@ def main(argv=None) -> int:
         batch_sizes=args.batch_sizes,
         seq_lens=args.seq_lens,
         steps=args.steps,
+        int8_base=args.int8_base,
     )
     md = generate_lora_report(results, args.output)
     print(md)

@@ -31,6 +31,14 @@ def add_lora_args(p: argparse.ArgumentParser):
     g.add_argument("--no-backbone-lora", action="store_true")
     g.add_argument("--no-decoder-lora", action="store_true")
     g.add_argument("--save-mode", choices=["lora", "full", "both"], default="lora")
+    g.add_argument(
+        "--int8-base", action="store_true",
+        help="store the frozen base transformer weights as int8 "
+        "(per-out-channel scales, dequantized in the matmul load): "
+        "halves frozen-weight HBM — fits 8B LoRA fine-tuning on one "
+        "16 GiB chip; adapters stay float and absorb the quantization "
+        "error (QLoRA-style)",
+    )
     return p
 
 
@@ -99,6 +107,7 @@ def make_lora_trainer(args):
         target_layers=args.target_layers,
         apply_to_backbone=not args.no_backbone_lora,
         apply_to_decoder=not args.no_decoder_lora,
+        int8_base=args.int8_base,
         semantic_weight=args.semantic_weight,
         acoustic_weight=args.acoustic_weight,
     )

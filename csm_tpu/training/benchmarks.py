@@ -157,12 +157,20 @@ def run_lora_benchmark(
     seq_lens: Sequence[int] = (64,),
     steps: int = 5,
     compute_dtype=jnp.bfloat16,
+    int8_base: bool = False,
 ) -> List[dict]:
     """Sweep LoRA configs; returns result dicts
-    (step time, tokens/s, trainable params, efficiency)."""
+    (step time, tokens/s, trainable params, efficiency).
+
+    ``int8_base`` benchmarks the QLoRA-style mode (frozen base stored
+    int8, csm_tpu/utils/quantize.py) — the single-chip 8B config."""
     args = args or tiny_test_args()
     params = jax.jit(lambda: init_csm_params(jax.random.key(0), args, jnp.float32))()
     base_count = lora_mod.count_params(params)
+    if int8_base:
+        from csm_tpu.utils.quantize import quantize_csm_params
+
+        params = jax.jit(quantize_csm_params)(params)
 
     results = []
     for r in ranks:

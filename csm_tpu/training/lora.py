@@ -138,7 +138,15 @@ def init_lora_params(
 
 def merge_lora(params: dict, lora: dict, lcfg: LoRAConfig) -> dict:
     """W' = W + (A @ B) * scaling, returning a full merged param tree
-    (reference: src/csm/mlx/components/lora.py:140-153, 705-738)."""
+    (reference: src/csm/mlx/components/lora.py:140-153, 705-738).
+
+    With an int8-quantized base (csm_tpu/utils/quantize.py, the
+    ``int8_base`` LoRA trainer mode) each TARGETED projection is
+    dequantized to bf16 before its delta is added; untargeted
+    projections keep their stored layout (the model forward handles
+    mixed float/int8 trees transparently)."""
+    from csm_tpu.utils.quantize import dequantize_weight, is_quantized
+
     merged = dict(params)
     for comp in ("backbone", "decoder"):
         if comp not in lora:
@@ -146,7 +154,10 @@ def merge_lora(params: dict, lora: dict, lcfg: LoRAConfig) -> dict:
         sub = dict(params[comp])
         for name, ad in lora[comp].items():
             delta = jnp.einsum("lir,lro->lio", ad["a"], ad["b"]) * lcfg.scaling
-            sub[name] = (sub[name] + delta.astype(sub[name].dtype))
+            base = sub[name]
+            if is_quantized(base):
+                base = dequantize_weight(base, jnp.bfloat16)
+            sub[name] = base + delta.astype(base.dtype)
         merged[comp] = sub
     return merged
 

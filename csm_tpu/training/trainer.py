@@ -482,12 +482,36 @@ class CSMLoRATrainer(CSMTrainer):
         target_layers=None,
         apply_to_backbone: bool = True,
         apply_to_decoder: bool = True,
+        int8_base: bool = False,
         **kw,
     ):
+        # QLoRA-style memory mode: store the FROZEN base transformer
+        # stacks as int8 (per-out-channel scales); the layer forward
+        # dequantizes in the matmul load (csm_tpu/models/llama.py) and
+        # only the float adapters receive gradients, so training quality
+        # rests on the adapters absorbing the (small, validated ~0.1%
+        # token-KL) quantization error.  Halves the frozen-weight HBM —
+        # the lever that fits 8B LoRA fine-tuning on ONE 16 GiB chip
+        # (__graft_entry__._compile_8b_int8_lora).
+        self.int8_base = bool(int8_base)
+        par = kw.get("parallel")
+        if self.int8_base and par is not None and (
+            par.model_parallel > 1 or par.fsdp or par.pipeline_parallel > 1
+        ):
+            raise ValueError(
+                "int8_base supports single-device, data-parallel and "
+                "sequence-parallel layouts (the point is NOT needing "
+                "model sharding); drop --int8-base or the model-sharding "
+                "flags"
+            )
         super().__init__(
             model_path=model_path, output_dir=output_dir,
             learning_rate=learning_rate, **kw,
         )
+        if self.int8_base:
+            from csm_tpu.utils.quantize import quantize_csm_params
+
+            self.params = jax.jit(quantize_csm_params)(self.params)
         self.lora_config = lora_mod.LoRAConfig(
             r=lora_r,
             alpha=lora_alpha,
