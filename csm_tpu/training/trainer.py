@@ -509,9 +509,12 @@ class CSMLoRATrainer(CSMTrainer):
             learning_rate=learning_rate, **kw,
         )
         if self.int8_base:
-            from csm_tpu.utils.quantize import quantize_csm_params
+            from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
 
-            self.params = jax.jit(quantize_csm_params)(self.params)
+            # already-quantized base (multi-speaker trainers share ONE
+            # frozen base): reuse it — re-jitting would copy ~1 GiB/speaker
+            if not is_quantized(self.params["backbone"]["wq"]):
+                self.params = jax.jit(quantize_csm_params)(self.params)
         self.lora_config = lora_mod.LoRAConfig(
             r=lora_r,
             alpha=lora_alpha,

@@ -42,7 +42,9 @@ def is_quantized(w) -> bool:
 def quantize_transformer(tp: dict) -> dict:
     out = dict(tp)
     for name in QUANTIZED_PROJS:
-        out[name] = quantize_weight(tp[name])
+        # idempotent: an already-quantized projection is reused as-is (the
+        # multi-speaker trainer shares ONE quantized base across speakers)
+        out[name] = tp[name] if is_quantized(tp[name]) else quantize_weight(tp[name])
     return out
 
 

@@ -126,6 +126,26 @@ def test_trainer_int8_base_end_to_end(tiny, tmp_path):
     assert not is_quantized(merged["backbone"]["wq"])
 
 
+def test_multi_speaker_shares_one_quantized_base(tiny, tmp_path):
+    """Multi-speaker + int8_base: ALL speaker trainers must reference the
+    SAME quantized base arrays (quantize once, not once per speaker)."""
+    from csm_tpu.training.multi_speaker import MultiSpeakerLoRATrainer
+
+    args, params = tiny
+    ms = MultiSpeakerLoRATrainer(
+        speaker_ids=[0, 1], output_dir=str(tmp_path / "ms"),
+        args=args, params=params, lora_r=2, int8_base=True,
+        compute_dtype=jnp.float32, remat=False, learning_rate=5e-3,
+    )
+    t0, t1 = ms.trainers[0], ms.trainers[1]
+    assert is_quantized(t0.params["backbone"]["wq"])
+    assert t0.params["backbone"]["wq"]["w8"] is t1.params["backbone"]["wq"]["w8"]
+    data = {0: [make_batch(args, B=1, T=8, seed=0)],
+            1: [make_batch(args, B=1, T=8, seed=1)]}
+    losses = ms.train(data, epochs=1, batch_size=1, save_every=10**9)
+    assert all(np.isfinite(v) for v in losses.values())
+
+
 def test_int8_base_rejects_model_sharding(tiny, tmp_path):
     args, params = tiny
     from csm_tpu.parallel.mesh import ParallelConfig
