@@ -156,3 +156,48 @@ def test_int8_base_rejects_model_sharding(tiny, tmp_path):
             int8_base=True, parallel=ParallelConfig(model_parallel=2),
             compute_dtype=jnp.float32, remat=False,
         )
+
+
+@pytest.mark.multichip
+def test_int8_base_seq_parallel(tmp_path):
+    """The supported-layout claim (single-device / data / seq): int8-base
+    LoRA under ParallelConfig(seq_parallel) — ring attention over the
+    seq axis with the quantized base replicated — trains to the same
+    loss as the single-device int8-base trainer."""
+    from cpu_mesh import run_cpu8
+
+    out = run_cpu8(
+        f"""
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+import sys; sys.path.insert(0, "tests")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.mesh import ParallelConfig
+from csm_tpu.training.trainer import CSMLoRATrainer
+from test_training import make_batch
+
+args = tiny_test_args()
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+data = [make_batch(args, B=8, T=8, seed=i) for i in range(2)]
+
+def run(tr):
+    return tr.train(list(data), batch_size=8, epochs=1,
+                    val_every=1000, save_every=1000)
+
+base = CSMLoRATrainer(output_dir={str(tmp_path / 'a')!r}, args=args,
+                      params=params, lora_r=4, int8_base=True,
+                      learning_rate=1e-3, compute_dtype=jnp.float32,
+                      remat=False)
+l1 = run(base)
+sp = CSMLoRATrainer(output_dir={str(tmp_path / 'b')!r}, args=args,
+                    params=params, lora_r=4, int8_base=True,
+                    learning_rate=1e-3, compute_dtype=jnp.float32,
+                    remat=False, parallel=ParallelConfig(seq_parallel=2))
+l2 = run(sp)
+assert dict(sp.mesh.shape) == {{"data": 4, "seq": 2}}
+np.testing.assert_allclose(l1, l2, rtol=2e-4)
+print("int8-base seq parity OK", l1, l2)
+"""
+    )
+    assert "int8-base seq parity OK" in out
