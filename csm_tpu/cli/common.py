@@ -161,4 +161,5 @@ def build_generator(args, compute_dtype=None):
         quantize=getattr(args, "int8", False),
         kv_int8=getattr(args, "kv_int8", False),
         args=margs,
+        lora_path=getattr(args, "lora_path", None),
     )

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-path", type=str, default=None,
                    help="CSM checkpoint: reference ckpt.pt or an orbax dir "
                         "(no network egress — files must be local)")
+    p.add_argument("--lora-path", type=str, default=None,
+                   help="LoRA adapter directory (csm-finetune-lora "
+                        "save-mode lora): merged into the base at load — "
+                        "serve a fine-tune from the lora-only artifact")
     p.add_argument("--mimi-path", type=str, default=None,
                    help="Mimi codec checkpoint (safetensors/pt)")
     p.add_argument("--text", type=str, required=True)

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Serve CSM TTS requests (TPU)")
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--mimi-path", type=str, default=None)
+    p.add_argument("--lora-path", type=str, default=None,
+                   help="LoRA adapter directory: merged into the base at "
+                        "load (serve a fine-tune from the lora-only artifact)")
     p.add_argument("--requests", type=str, default=None,
                    help="JSONL file of requests ('-' = stdin); required "
                         "unless --http")

@@ -362,6 +362,7 @@ def load_csm_1b(
     quantize: bool = False,
     kv_int8: bool = False,
     args: Optional[ModelArgs] = None,
+    lora_path: Optional[str] = None,
 ) -> Generator:
     """Build a CSM-1B Generator (reference: src/csm/generator.py:221-244).
 
@@ -376,6 +377,10 @@ def load_csm_1b(
     (~1.6x faster bandwidth-bound decode; csm_tpu/utils/quantize.py).
     ``kv_int8`` — int8 KV cache (quantize-at-write, half the decode-time
     cache HBM stream; csm_tpu/ops/kvcache.py).
+    ``lora_path`` — optional adapter directory from ``csm-finetune-lora``
+    (save-mode lora): merged into the base at load, so a lora-only
+    artifact serves directly without a separate full export.  Merge
+    happens before ``quantize``.
     """
     from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_init
 
@@ -391,6 +396,17 @@ def load_csm_1b(
 
         params, args = load_params(ckpt_path)
         params = _cast(params, compute_dtype)
+
+    if lora_path is not None:
+        from csm_tpu.training.lora import load_lora, merge_lora
+
+        lora, lcfg, largs = load_lora(lora_path)
+        if largs != args:
+            raise ValueError(
+                f"adapter at {lora_path} was trained for a different model "
+                f"shape (adapter args != loaded args)"
+            )
+        params = _cast(merge_lora(params, lora, lcfg), compute_dtype)
 
     if quantize:
         from csm_tpu.utils.quantize import quantize_csm_params

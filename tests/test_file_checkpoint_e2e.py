@@ -151,6 +151,70 @@ def test_ckpt_pt_to_generate_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_lora_adapter_to_generate_cli(tmp_path, monkeypatch):
+    """lora-only artifact (csm-finetune-lora save-mode lora) + base
+    ckpt.pt -> ``csm-generate --lora-path`` — the adapter merges at load,
+    no full export needed."""
+    # the in-process loads below build a Generator (tokenizer incl.);
+    # no HF cache in this environment -> permit the byte fallback
+    monkeypatch.setenv("CSM_TPU_ALLOW_BYTE_TOKENIZER", "1")
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.generator import load_csm_1b
+    from csm_tpu.models.config import tiny_file_args
+    from csm_tpu.training.lora import (
+        LoRAConfig, init_lora_params, save_lora,
+    )
+
+    ckpt = str(tmp_path / "ckpt.pt")
+    mimi = str(tmp_path / "model.safetensors")
+    adapter = str(tmp_path / "adapter")
+    out = str(tmp_path / "out.wav")
+    args = _write_csm_ckpt(ckpt)
+    _write_mimi_safetensors(mimi)
+    lcfg = LoRAConfig(r=4)
+    lora = init_lora_params(jax.random.key(7), args, lcfg)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)  # nonzero B -> real delta
+    save_lora(adapter, lora, lcfg, args)
+
+    # the merge changes the targeted projections
+    base = load_csm_1b(ckpt, mimi_path=mimi, args=tiny_file_args())
+    tuned = load_csm_1b(
+        ckpt, mimi_path=mimi, args=tiny_file_args(), lora_path=adapter
+    )
+    assert not np.array_equal(
+        np.asarray(tuned.params["backbone"]["wq"], np.float32),
+        np.asarray(base.params["backbone"]["wq"], np.float32),
+    )
+    # shape-mismatched adapter is rejected loudly
+    from csm_tpu.models.config import tiny_test_args
+
+    bad = str(tmp_path / "bad_adapter")
+    targs = tiny_test_args()
+    save_lora(bad, init_lora_params(jax.random.key(8), targs, lcfg),
+              lcfg, targs)
+    with pytest.raises(ValueError, match="different model shape"):
+        load_csm_1b(ckpt, mimi_path=mimi, args=tiny_file_args(),
+                    lora_path=bad)
+
+    r = _run_cli([
+        "csm_tpu.cli.generate",
+        "--model-path", ckpt, "--mimi-path", mimi, "--flavor", "tiny",
+        "--lora-path", adapter,
+        "--text", "adapter merged at load", "--output", out,
+        "--max-audio-length-ms", "400", "--no-watermark", "--seed", "1",
+        "--allow-byte-tokenizer",
+    ])
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+
+    from csm_tpu.data.audio import load_wav
+
+    audio, sr = load_wav(out)
+    assert sr == 24_000 and audio.shape[0] > 0
+
+
+@pytest.mark.slow
 def test_silentcipher_ckpts_to_verify_cli(tmp_path):
     """SilentCipher-format *.ckpt files on disk -> ``csm-verify
     --watermark-ckpt`` (BN folding + key layout proven at file level)."""
