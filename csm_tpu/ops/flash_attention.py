@@ -91,15 +91,40 @@ def _stacked_qpos(qpos_ref, qpk, BQ):
     return jnp.concatenate([qpos] * qpk, axis=0) if qpk > 1 else qpos
 
 
+def _full_chunk_prefix(kpos_ref, qmin, n_chunks, block_k):
+    """Number of LEADING kv chunks fully visible to every row of the q
+    block (max key pos <= min query pos): those chunks need no mask
+    compare/select — the kernel is VPU-bound, so skipping 2 of the ~8 VPU
+    ops per score element on interior chunks is a real win.  Computed as
+    a strict prefix (stops at the first non-full chunk) so two plain
+    ``fori_loop``s replace a per-chunk branch — per-chunk ``lax.cond``
+    selection was measured SLOWER (branches break the chunk pipeline).
+    Padding rows (q pos −1) make qmin == −1 ⇒ prefix 0: always correct,
+    just unoptimized for blocks containing padding."""
+
+    def count(j, carry):
+        in_prefix, n = carry
+        kmax = jnp.max(kpos_ref[0, 0, pl.ds(j * block_k, block_k)])
+        in_prefix = jnp.logical_and(in_prefix, kmax <= qmin)
+        return in_prefix, n + in_prefix.astype(jnp.int32)
+
+    _, n_full = jax.lax.fori_loop(
+        0, n_chunks, count, (jnp.bool_(True), jnp.int32(0))
+    )
+    return n_full
+
+
 def _kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, block_k):
     """Online-softmax over KV chunks with causal chunk skipping.
 
     One program handles ALL qpk query heads of one kv group (rows stacked:
     the q block is (qpk, BQ, D) flattened to (qpk*BQ, D)) — 1/qpk-th the
     programs and qpk× larger MXU ops vs a per-q-head grid, and K/V are
-    fetched once per group.  K/V for the group are fully VMEM-resident;
-    chunks whose minimum key position exceeds the block's maximum query
-    position are skipped entirely (≈2x for causal self-attention).
+    fetched once per group.  K/V for the group are fully VMEM-resident.
+    The chunk loop is SPLIT: a leading run of fully-visible chunks runs
+    mask-free (no compare/select VPU work), then the diagonal/masked tail
+    applies the position mask, with chunks past the block's maximum query
+    position skipped entirely (≈2x for causal self-attention).
     Standard flash rescaling erases any contribution accumulated while a
     row was still fully masked (alpha → 0 on the first real chunk).
     """
@@ -111,32 +136,41 @@ def _kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, blo
     q = q_ref[0, 0].reshape(R, D)  # operand-native dtype; scale post-dot
     qpos = _stacked_qpos(qpos_ref, qpk, BQ)  # (R, 1)
     qmax = jnp.max(qpos)
+    qmin = jnp.min(qpos)
+    n_chunks = T // block_k
 
-    def chunk(j, carry):
+    def accumulate(j, carry, masked):
         m, l, acc = carry
-        kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]  # (BK,)
-
-        def compute(carry):
-            m, l, acc = carry
-            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
-            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-            s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
+        if masked:
+            kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]
             s = jnp.where(kpos_c.reshape(1, -1) <= qpos, s, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
-            return m_new, l, acc
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + _dot(p.astype(v.dtype), v, ((1,), (0,)))
+        return m_new, l, acc
 
+    def chunk_masked(j, carry):
+        kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]  # (BK,)
         return jax.lax.cond(
-            jnp.min(kpos_c) <= qmax, compute, lambda c: c, carry
+            jnp.min(kpos_c) <= qmax,
+            lambda c: accumulate(j, c, masked=True),
+            lambda c: c,
+            carry,
         )
 
+    n_full = _full_chunk_prefix(kpos_ref, qmin, n_chunks, block_k)
     m0 = jnp.full((R, 1), NEG_INF, f32)
     l0 = jnp.zeros((R, 1), f32)
     acc0 = jnp.zeros((R, D), f32)
-    m, l, acc = jax.lax.fori_loop(0, T // block_k, chunk, (m0, l0, acc0))
+    carry = jax.lax.fori_loop(
+        0, n_full, lambda j, c: accumulate(j, c, masked=False), (m0, l0, acc0)
+    )
+    m, l, acc = jax.lax.fori_loop(n_full, n_chunks, chunk_masked, carry)
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).reshape(qpk, BQ, D).astype(
         o_ref.dtype
     )
@@ -268,24 +302,37 @@ def _dq_kernel(
     Dr = d_ref[0, 0].reshape(R, 1)
     qpos = _stacked_qpos(qpos_ref, qpk, BQ)  # (R, 1)
     qmax = jnp.max(qpos)
+    qmin = jnp.min(qpos)
+    n_chunks = T // block_k
 
-    def chunk(j, acc):
-        kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]  # (BK,)
-
-        def compute(acc):
-            k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
-            v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-            s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
+    def accumulate(j, acc, masked):
+        k = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
+        if masked:
+            kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]
             s = jnp.where(kpos_c.reshape(1, -1) <= qpos, s, NEG_INF)
-            p = jnp.exp(s - L)  # masked/empty rows: exp(−huge) == 0
-            dp = _dot(do, v, ((1,), (1,)))  # (R, BK) f32
-            ds = p * (dp - Dr)
-            return acc + _dot(ds.astype(k.dtype), k, ((1,), (0,))) * scale
+        p = jnp.exp(s - L)  # masked/empty rows: exp(−huge) == 0
+        dp = _dot(do, v, ((1,), (1,)))  # (R, BK) f32
+        ds = p * (dp - Dr)
+        return acc + _dot(ds.astype(k.dtype), k, ((1,), (0,))) * scale
 
-        return jax.lax.cond(jnp.min(kpos_c) <= qmax, compute, lambda a: a, acc)
+    def chunk_masked(j, acc):
+        kpos_c = kpos_ref[0, 0, pl.ds(j * block_k, block_k)]  # (BK,)
+        return jax.lax.cond(
+            jnp.min(kpos_c) <= qmax,
+            lambda a: accumulate(j, a, masked=True),
+            lambda a: a,
+            acc,
+        )
 
+    # fully-visible leading chunks run mask-free (see _full_chunk_prefix)
+    n_full = _full_chunk_prefix(kpos_ref, qmin, n_chunks, block_k)
     acc0 = jnp.zeros((R, D), f32)
-    acc = jax.lax.fori_loop(0, T // block_k, chunk, acc0)
+    acc = jax.lax.fori_loop(
+        0, n_full, lambda j, a: accumulate(j, a, masked=False), acc0
+    )
+    acc = jax.lax.fori_loop(n_full, n_chunks, chunk_masked, acc)
     dq_ref[0, 0] = acc.reshape(qpk, BQ, D).astype(dq_ref.dtype)
 
 
@@ -314,37 +361,63 @@ def _dkv_kernel(
     v = v_ref[0, 0]
     kpos = kpos_ref[0, 0].reshape(1, BK)
     kmin = jnp.min(kpos)
+    kmax = jnp.max(kpos)
+    n_chunks = S // block_q
 
-    def chunk(i, carry):
+    def accumulate(i, carry, masked):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, D)
+        do = do_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, D)
+        L = l_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, 1)
+        Dr = d_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, 1)
+        s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
+        if masked:
+            qpos_c = qpos_ref[0, 0, pl.ds(i * block_q, block_q)]
+            qpos_2d = qpos_c.reshape(block_q, 1)
+            qpos_s = (
+                jnp.concatenate([qpos_2d] * qpk, axis=0) if qpk > 1 else qpos_2d
+            )
+            s = jnp.where(kpos <= qpos_s, s, NEG_INF)
+        p = jnp.exp(s - L)
+        dv_acc = dv_acc + _dot(
+            p.astype(do.dtype), do, ((0,), (0,))
+        )  # pᵀ·dO: (BK, D), summed over the group's heads
+        dp = _dot(do, v, ((1,), (1,)))  # (R, BK) f32
+        ds = p * (dp - Dr)
+        dk_acc = dk_acc + _dot(
+            ds.astype(q.dtype), q, ((0,), (0,))
+        ) * scale  # dsᵀ·q·scale: (BK, D)
+        return dk_acc, dv_acc
+
+    def chunk_masked(i, carry):
         qpos_c = qpos_ref[0, 0, pl.ds(i * block_q, block_q)]  # (BQc,)
-        qpos_2d = qpos_c.reshape(block_q, 1)
-        qpos_s = (
-            jnp.concatenate([qpos_2d] * qpk, axis=0) if qpk > 1 else qpos_2d
+        return jax.lax.cond(
+            jnp.max(qpos_c) >= kmin,
+            lambda c: accumulate(i, c, masked=True),
+            lambda c: c,
+            carry,
         )
 
-        def compute(carry):
-            dk_acc, dv_acc = carry
-            q = q_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, D)
-            do = do_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, D)
-            L = l_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, 1)
-            Dr = d_ref[0, 0, :, pl.ds(i * block_q, block_q), :].reshape(R, 1)
-            s = _dot(q, k, ((1,), (1,))) * scale  # (R, BK) f32
-            s = jnp.where(kpos <= qpos_s, s, NEG_INF)
-            p = jnp.exp(s - L)
-            dv_acc = dv_acc + _dot(
-                p.astype(do.dtype), do, ((0,), (0,))
-            )  # pᵀ·dO: (BK, D), summed over the group's heads
-            dp = _dot(do, v, ((1,), (1,)))  # (R, BK) f32
-            ds = p * (dp - Dr)
-            dk_acc = dk_acc + _dot(
-                ds.astype(q.dtype), q, ((0,), (0,))
-            ) * scale  # dsᵀ·q·scale: (BK, D)
-            return dk_acc, dv_acc
+    # Causal transpose of the forward's prefix split: q chunks whose
+    # MINIMUM position is >= the key block's max are fully visible and
+    # form a SUFFIX (q positions ascend; padding rows carry −1 so a
+    # padded tail chunk conservatively stays in the masked run).
+    def count(t, carry):
+        in_suffix, n = carry
+        i = n_chunks - 1 - t
+        qmin_c = jnp.min(qpos_ref[0, 0, pl.ds(i * block_q, block_q)])
+        in_suffix = jnp.logical_and(in_suffix, qmin_c >= kmax)
+        return in_suffix, n + in_suffix.astype(jnp.int32)
 
-        return jax.lax.cond(jnp.max(qpos_c) >= kmin, compute, lambda c: c, carry)
-
+    _, n_suffix = jax.lax.fori_loop(
+        0, n_chunks, count, (jnp.bool_(True), jnp.int32(0))
+    )
+    split = n_chunks - n_suffix
     z = jnp.zeros((BK, D), f32)
-    dk, dv = jax.lax.fori_loop(0, S // block_q, chunk, (z, z))
+    carry = jax.lax.fori_loop(0, split, chunk_masked, (z, z))
+    dk, dv = jax.lax.fori_loop(
+        split, n_chunks, lambda i, c: accumulate(i, c, masked=False), carry
+    )
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 

@@ -101,6 +101,86 @@ class SlotState(NamedTuple):
     remaining: jnp.ndarray  # (B,) int32 — frames the slot may still emit
 
 
+def build_decode_fn(
+    args: ModelArgs, B: int, chunk_size: int, topk: int, compute_dtype
+):
+    """The serving decode-chunk program (un-jitted) — the on-device
+    control plane (VERDICT round-1 item #5):
+
+      * per-slot ``remaining`` budgets decrement on device; a slot that
+        exhausts its budget or hits EOS goes dead immediately (no
+        overshoot frames to discard on host);
+      * the ``lax.while_loop`` exits as soon as NO slot is live — a
+        single stream that EOSes 2 frames into a 16-frame chunk pays for
+        2 frames, not 16;
+      * the host drains ``counts[s]`` valid frames per slot (live slots
+        emit a prefix of the chunk — they never pause).
+
+    Still-idle-but-allocated slots run dead tokens at PAD_POS (static
+    shapes).  On a single device, ``step()`` compacts the LIVE slots
+    into the smallest power-of-two decode variant before dispatch, so
+    mostly-idle servers don't pay full-batch compute (``_compact_fns``).
+
+    Module-level (not a method) so the 8B serving fit proof can AOT-
+    compile the EXACT production program against a TPU topology
+    (__graft_entry__._compile_8b_serving).
+    """
+    K = args.audio_num_codebooks
+    n_chunk = chunk_size
+    step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
+
+    def decode(params, base_key, step_idx, state: csm.FrameState,
+               slots: SlotState, temperature):
+        key = jax.random.fold_in(base_key, step_idx)
+        frames_buf = jnp.zeros((n_chunk, B, K), jnp.int32)
+        counts = jnp.zeros((B,), jnp.int32)
+
+        def cond(c):
+            t, _, slots = c[0], c[1], c[2]
+            return (t < n_chunk) & jnp.any(slots.live)
+
+        def body(c):
+            t, state, slots, frames_buf, counts = c
+            live = slots.live
+            tokens = (
+                jnp.zeros((B, 1, K + 1), jnp.int32)
+                .at[:, 0, :K].set(slots.last_frame)
+            )
+            mask = jnp.broadcast_to(
+                step_mask_live[None], (B, 1, K + 1)
+            ) & live[:, None, None]
+            p = jnp.where(live, slots.pos, csm.PAD_POS).astype(jnp.int32)[
+                :, None
+            ]
+            new_frame, state = csm.generate_frame(
+                params, args, jax.random.fold_in(key, t), tokens, mask, p,
+                state, temperature, topk, compute_dtype,
+            )
+            emit = live & ~jnp.all(new_frame == 0, axis=1)  # EOS emits 0
+            new_frame = jnp.where(emit[:, None], new_frame, 0)
+            frames_buf = jax.lax.dynamic_update_slice(
+                frames_buf, new_frame[None], (t, 0, 0)
+            )
+            counts = counts + emit.astype(jnp.int32)
+            rem = slots.remaining - emit.astype(jnp.int32)
+            slots = SlotState(
+                last_frame=jnp.where(
+                    emit[:, None], new_frame, slots.last_frame
+                ),
+                pos=slots.pos + 1,
+                live=emit & (rem > 0),
+                remaining=rem,
+            )
+            return t + 1, state, slots, frames_buf, counts
+
+        _, state, slots, frames_buf, counts = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), state, slots, frames_buf, counts)
+        )
+        return frames_buf, counts, slots, state
+
+    return decode
+
+
 class BatchedServer:
     """Continuous-batching decode server over ``n_slots`` streams."""
 
@@ -238,79 +318,12 @@ class BatchedServer:
     # ---- compiled programs ----
 
     def _build_decode(self, B: int):
-        args, K = self.args, self.args.audio_num_codebooks
-        n_chunk = self.chunk_size
-        step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
-
-        def decode(params, base_key, step_idx, state: csm.FrameState,
-                   slots: SlotState, temperature):
-            """Up to ``n_chunk`` decode steps in one compiled program — the
-            on-device control plane (VERDICT round-1 item #5):
-
-              * per-slot ``remaining`` budgets decrement on device; a slot
-                that exhausts its budget or hits EOS goes dead immediately
-                (no overshoot frames to discard on host);
-              * the ``lax.while_loop`` exits as soon as NO slot is live —
-                a single stream that EOSes 2 frames into a 16-frame chunk
-                pays for 2 frames, not 16;
-              * the host drains ``counts[s]`` valid frames per slot (live
-                slots emit a prefix of the chunk — they never pause).
-
-            Still-idle-but-allocated slots run dead tokens at PAD_POS
-            (static shapes).  On a single device, ``step()`` compacts the
-            LIVE slots into the smallest power-of-two decode variant
-            before dispatch, so mostly-idle servers don't pay full-batch
-            compute (see ``_compact_fns``).
-            """
-            key = jax.random.fold_in(base_key, step_idx)
-            frames_buf = jnp.zeros((n_chunk, B, K), jnp.int32)
-            counts = jnp.zeros((B,), jnp.int32)
-
-            def cond(c):
-                t, _, slots = c[0], c[1], c[2]
-                return (t < n_chunk) & jnp.any(slots.live)
-
-            def body(c):
-                t, state, slots, frames_buf, counts = c
-                live = slots.live
-                tokens = (
-                    jnp.zeros((B, 1, K + 1), jnp.int32)
-                    .at[:, 0, :K].set(slots.last_frame)
-                )
-                mask = jnp.broadcast_to(
-                    step_mask_live[None], (B, 1, K + 1)
-                ) & live[:, None, None]
-                p = jnp.where(live, slots.pos, csm.PAD_POS).astype(jnp.int32)[
-                    :, None
-                ]
-                new_frame, state = csm.generate_frame(
-                    params, args, jax.random.fold_in(key, t), tokens, mask, p,
-                    state, temperature, self.topk, self.compute_dtype,
-                )
-                emit = live & ~jnp.all(new_frame == 0, axis=1)  # EOS emits 0
-                new_frame = jnp.where(emit[:, None], new_frame, 0)
-                frames_buf = jax.lax.dynamic_update_slice(
-                    frames_buf, new_frame[None], (t, 0, 0)
-                )
-                counts = counts + emit.astype(jnp.int32)
-                rem = slots.remaining - emit.astype(jnp.int32)
-                slots = SlotState(
-                    last_frame=jnp.where(
-                        emit[:, None], new_frame, slots.last_frame
-                    ),
-                    pos=slots.pos + 1,
-                    live=emit & (rem > 0),
-                    remaining=rem,
-                )
-                return t + 1, state, slots, frames_buf, counts
-
-            _, state, slots, frames_buf, counts = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), state, slots, frames_buf, counts)
-            )
-            return frames_buf, counts, slots, state
-
-        # donate cache + slot buffers: steady-state serving holds ONE copy
-        return jax.jit(decode, donate_argnums=(3, 4))
+        return jax.jit(
+            build_decode_fn(
+                self.args, B, self.chunk_size, self.topk, self.compute_dtype
+            ),
+            donate_argnums=(3, 4),
+        )
 
     def _build_admit(self):
         def admit(slots: SlotState, slot, frame0, pos0, budget):

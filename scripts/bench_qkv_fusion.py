@@ -1,0 +1,121 @@
+"""Would fusing wq/wk/wv (and w1/w3) into single matmuls speed the decode step?
+
+The B=1 S=1 backbone step runs at ~470 GB/s effective vs the 819 GB/s HBM
+peak (BENCHMARKS.md per-frame breakdown).  Hypothesis: part of the gap is
+per-matmul overhead — 7 matvecs per layer x 16 layers = 112 small dispatches
+inside the layer scan.  Fusing qkv (2048->3072) and gate/up (2048->16384)
+drops that to 4 per layer without changing bytes read.
+
+This microbenchmark times a 16-layer scan of JUST the projection matvecs
+(no attention/norms) in both layouts, plus single matvecs of each size to
+expose the per-op overhead floor.
+
+Usage: python scripts/bench_qkv_fusion.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, x, n=50):
+    """Chained timing (tunnel-safe): each call consumes the previous
+    output; one scalar fetch at the end forces the whole chain."""
+    out = fn(x)
+    float(jnp.sum(out[0]))
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(out)
+    float(jnp.sum(out[0]))
+    return (time.time() - t0) / n
+
+
+def main():
+    E, I = 2048, 8192
+    qd, kvd = 2048, 512
+    L = 16
+    rng = np.random.default_rng(0)
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.02, jnp.bfloat16)
+
+    sep = {
+        "wq": mk(L, E, qd), "wk": mk(L, E, kvd), "wv": mk(L, E, kvd),
+        "wo": mk(L, qd, E), "w1": mk(L, E, I), "w3": mk(L, E, I),
+        "w2": mk(L, I, E),
+    }
+    fus = {
+        "wqkv": jnp.concatenate([sep["wq"], sep["wk"], sep["wv"]], axis=-1),
+        "wo": sep["wo"],
+        "w13": jnp.concatenate([sep["w1"], sep["w3"]], axis=-1),
+        "w2": sep["w2"],
+    }
+    bytes_per_layer = sum(int(np.prod(v.shape[1:])) * 2 for v in sep.values())
+    log(f"weights: {L} layers x {bytes_per_layer/2**20:.1f} MiB = "
+        f"{L*bytes_per_layer/2**30:.2f} GiB")
+
+    x0 = mk(1, E)
+
+    @jax.jit
+    def scan_sep(x):
+        def body(h, lp):
+            q = h @ lp["wq"]
+            k = h @ lp["wk"]
+            v = h @ lp["wv"]
+            # stand-in for attention output: q + broadcast of k,v sums
+            a = q + jnp.sum(k) + jnp.sum(v)
+            h = h + a @ lp["wo"]
+            g = jax.nn.silu(h @ lp["w1"]) * (h @ lp["w3"])
+            return h + g @ lp["w2"], None
+        h, _ = jax.lax.scan(body, x, sep)
+        return h
+
+    @jax.jit
+    def scan_fus(x):
+        def body(h, lp):
+            qkv = h @ lp["wqkv"]
+            q, k, v = qkv[:, :qd], qkv[:, qd:qd + kvd], qkv[:, qd + kvd:]
+            a = q + jnp.sum(k) + jnp.sum(v)
+            h = h + a @ lp["wo"]
+            g13 = h @ lp["w13"]
+            g = jax.nn.silu(g13[:, :I]) * g13[:, I:]
+            return h + g @ lp["w2"], None
+        h, _ = jax.lax.scan(body, x, fus)
+        return h
+
+    report = {}
+    for name, fn in (("separate(7/layer)", scan_sep), ("fused(4/layer)", scan_fus)):
+        ms = timed(fn, x0) * 1e3
+        gbs = L * bytes_per_layer / (ms / 1e3) / 1e9
+        report[name] = {"ms": round(ms, 3), "eff_GBps": round(gbs, 1)}
+        log(f"{name}: {ms:.3f} ms ({gbs:.0f} GB/s effective)")
+
+    # per-op floor: single matvec of each size, chained
+    for shape in ((E, kvd), (E, qd), (E, I), (E, 2 * I)):
+        w = mk(*shape)
+
+        @jax.jit
+        def one(x, w=w, shape=shape):
+            y = x @ w
+            # fold back to x's shape so the chain types match
+            return x + jnp.sum(y) * 1e-9
+
+        ms = timed(one, x0) * 1e3
+        gbs = shape[0] * shape[1] * 2 / (ms / 1e3) / 1e9
+        log(f"matvec {shape}: {ms*1e3:.1f} us ({gbs:.0f} GB/s)")
+        report[f"matvec{shape}"] = {"us": round(ms * 1e3, 1), "eff_GBps": round(gbs, 1)}
+
+    print(jax.tree_util.tree_map(lambda x: x, report))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ tests/test_flash_attention.py runs the compiled kernels on a real TPU
 (and is skipped elsewhere); these run the same kernel bodies through the
 Pallas interpreter, so the online-softmax/chunk-split/GQA-stacking math
 is covered on any backend — including the mask-free/masked loop-range
-split (flash_attention._chunk_split) and its non-monotone-layout
+split (flash_attention._full_chunk_prefix) and its non-monotone-layout
 degradation (zigzag ring segments).
 """
 

@@ -215,6 +215,20 @@ def test_fullsize_1b_sharded_step_compiles():
 
 
 @pytest.mark.multichip
+def test_fullsize_8b_serving_decode_compiles():
+    """FULL-SIZE 8B SERVING decode chunk compiles for a v5e:2x4 topology
+    with the production TP/data shardings and fits per-device HBM —
+    the serving counterpart of the 8B training fit proofs.  Uses the
+    v5e compiler via jax.experimental.topologies (no TPU hardware)."""
+    out = _run_cpu8(
+        "import __graft_entry__ as g\n"
+        "g._compile_8b_serving()\n",
+    )
+    assert "8B SERVING decode chunk compiles" in out
+    assert "FITS" in out
+
+
+@pytest.mark.multichip
 def test_sharded_compacted_serving_matches_single_device():
     """Idle-slot compaction ON A MESH (VERDICT round-2 item #8): a
     mostly-idle 8-slot server over a data=2 mesh compacts its live slots
