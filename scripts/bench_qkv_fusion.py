@@ -13,8 +13,11 @@ expose the per-op overhead floor.
 Usage: python scripts/bench_qkv_fusion.py
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -22,16 +25,22 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
+from csm_tpu.utils.transport import warm_transport  # noqa: E402
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, x, n=50):
+def timed(fn, x, n=50, tag=""):
     """Chained timing (tunnel-safe): each call consumes the previous
     output; one scalar fetch at the end forces the whole chain."""
+    t0 = time.time()
     out = fn(x)
+    log(f"  [{tag}] dispatch+compile: {time.time()-t0:.1f}s")
+    t0 = time.time()
     float(jnp.sum(out[0]))
+    log(f"  [{tag}] first fetch: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(n):
         out = fn(out)
@@ -40,30 +49,44 @@ def timed(fn, x, n=50):
 
 
 def main():
+    warm_transport(verbose=True)
     E, I = 2048, 8192
     qd, kvd = 2048, 512
     L = 16
-    rng = np.random.default_rng(0)
 
-    def mk(*shape):
-        return jnp.asarray(rng.standard_normal(shape) * 0.02, jnp.bfloat16)
+    # init ON DEVICE: pushing ~1.5 GiB of host arrays through the
+    # tunneled transport takes >15 min; a jitted init takes <1 s
+    @jax.jit
+    def init(key):
+        shapes = {
+            "wq": (L, E, qd), "wk": (L, E, kvd), "wv": (L, E, kvd),
+            "wo": (L, qd, E), "w1": (L, E, I), "w3": (L, E, I),
+            "w2": (L, I, E),
+        }
+        ks = dict(zip(shapes, jax.random.split(key, len(shapes))))
+        sep = {
+            n: jax.random.normal(ks[n], s, jnp.bfloat16) * 0.02
+            for n, s in shapes.items()
+        }
+        fus = {
+            "wqkv": jnp.concatenate(
+                [sep["wq"], sep["wk"], sep["wv"]], axis=-1
+            ),
+            "wo": sep["wo"],
+            "w13": jnp.concatenate([sep["w1"], sep["w3"]], axis=-1),
+            "w2": sep["w2"],
+        }
+        return sep, fus
 
-    sep = {
-        "wq": mk(L, E, qd), "wk": mk(L, E, kvd), "wv": mk(L, E, kvd),
-        "wo": mk(L, qd, E), "w1": mk(L, E, I), "w3": mk(L, E, I),
-        "w2": mk(L, I, E),
-    }
-    fus = {
-        "wqkv": jnp.concatenate([sep["wq"], sep["wk"], sep["wv"]], axis=-1),
-        "wo": sep["wo"],
-        "w13": jnp.concatenate([sep["w1"], sep["w3"]], axis=-1),
-        "w2": sep["w2"],
-    }
+    sep, fus = init(jax.random.key(0))
+    jax.block_until_ready(sep["w2"])
     bytes_per_layer = sum(int(np.prod(v.shape[1:])) * 2 for v in sep.values())
     log(f"weights: {L} layers x {bytes_per_layer/2**20:.1f} MiB = "
         f"{L*bytes_per_layer/2**30:.2f} GiB")
 
-    x0 = mk(1, E)
+    x0 = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, E)) * 0.02, jnp.bfloat16
+    )
 
     @jax.jit
     def scan_sep(x):
@@ -94,14 +117,18 @@ def main():
 
     report = {}
     for name, fn in (("separate(7/layer)", scan_sep), ("fused(4/layer)", scan_fus)):
-        ms = timed(fn, x0) * 1e3
+        ms = timed(fn, x0, tag=name) * 1e3
         gbs = L * bytes_per_layer / (ms / 1e3) / 1e9
         report[name] = {"ms": round(ms, 3), "eff_GBps": round(gbs, 1)}
         log(f"{name}: {ms:.3f} ms ({gbs:.0f} GB/s effective)")
 
     # per-op floor: single matvec of each size, chained
     for shape in ((E, kvd), (E, qd), (E, I), (E, 2 * I)):
-        w = mk(*shape)
+        w = jax.jit(
+            lambda s=shape: jax.random.normal(
+                jax.random.key(2), s, jnp.bfloat16
+            ) * 0.02
+        )()
 
         @jax.jit
         def one(x, w=w, shape=shape):
@@ -109,7 +136,7 @@ def main():
             # fold back to x's shape so the chain types match
             return x + jnp.sum(y) * 1e-9
 
-        ms = timed(one, x0) * 1e3
+        ms = timed(one, x0, tag=str(shape)) * 1e3
         gbs = shape[0] * shape[1] * 2 / (ms / 1e3) / 1e9
         log(f"matvec {shape}: {ms*1e3:.1f} us ({gbs:.0f} GB/s)")
         report[f"matvec{shape}"] = {"us": round(ms * 1e3, 1), "eff_GBps": round(gbs, 1)}
