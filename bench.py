@@ -60,8 +60,10 @@ def main():
     K = args.audio_num_codebooks
 
     t0 = time.time()
+    # fused qkv / gate-up decode layout — what Generator/BatchedServer use
+    # on a single device (csm_tpu/models/csm.fuse_csm_params)
     params = jax.jit(
-        lambda k: csm.init_csm_params(k, args, dtype)
+        lambda k: csm.fuse_csm_params(csm.init_csm_params(k, args, dtype))
     )(jax.random.key(0))
     jax.block_until_ready(params["audio_head"])
     log(f"params init: {time.time() - t0:.1f}s")

@@ -18,6 +18,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import List, Optional
 
@@ -84,6 +85,12 @@ class Generator:
             from csm_tpu.parallel.inference import shard_inference_params
 
             params = shard_inference_params(params, mesh)
+        elif os.environ.get("CSM_TPU_NO_FUSE") != "1":
+            # single-device decode: fused qkv / gate-up projection layout
+            # (same math, fewer/larger HBM streams — models/csm.py)
+            from csm_tpu.models.csm import fuse_csm_params
+
+            params = fuse_csm_params(params)
         self.params = params
         self.args = args or csm_1b_args()
         self.mimi = mimi

@@ -74,6 +74,24 @@ def init_csm_params(key: jax.Array, args: ModelArgs, dtype=jnp.float32) -> dict:
     }
 
 
+def fuse_csm_params(params: dict) -> dict:
+    """Fuse backbone+decoder qkv / gate-up projections for decode.
+
+    Single-device inference layout (csm_tpu/models/llama.fuse_projections):
+    same bytes through fewer, larger HBM streams — measured +6% on the
+    decode projection scan (scripts/bench_qkv_fusion.py).  Not for meshes
+    (TP shards q/k/v head groups separately) or unmerged-LoRA params.
+    Idempotent on already-fused trees.
+    """
+    from csm_tpu.models.llama import fuse_projections
+
+    out = dict(params)
+    for comp in ("backbone", "decoder"):
+        if "wqkv" not in params[comp]:
+            out[comp] = fuse_projections(params[comp])
+    return out
+
+
 def embed_audio(
     params: dict, args: ModelArgs, codebook: jnp.ndarray | int, tokens: jnp.ndarray
 ) -> jnp.ndarray:

@@ -65,6 +65,39 @@ def transformer_init(key: jax.Array, cfg: TransformerConfig, dtype=jnp.float32):
     }
 
 
+def fuse_projections(tp: dict) -> dict:
+    """Fuse wq/wk/wv → wqkv and w1/w3 → w13 (inference-only layout).
+
+    The decode step is HBM-bandwidth-bound matvecs; fusing the three
+    attention input projections into one (E, qd+2·kvd) matmul and the two
+    SwiGLU input projections into one (E, 2·I) matmul reads the same bytes
+    through fewer, larger HBM streams (better DMA pipelining per
+    scripts/bench_qkv_fusion.py).  Works on float weights and on the int8
+    weight-only format ({"w8", "scale"} — per-out-channel scales
+    concatenate along the output axis, csm_tpu/utils/quantize.py).
+
+    Fused params are for cached/serving inference; training, LoRA
+    (unmerged adapters target the separate names), and checkpoint export
+    keep the canonical separate layout.
+    """
+    out = {
+        k: v for k, v in tp.items() if k not in ("wq", "wk", "wv", "w1", "w3")
+    }
+
+    def cat(names):
+        ws = [tp[n] for n in names]
+        if isinstance(ws[0], dict):  # int8 weight-only quantization
+            return {
+                "w8": jnp.concatenate([w["w8"] for w in ws], axis=-1),
+                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1),
+            }
+        return jnp.concatenate(ws, axis=-1)
+
+    out["wqkv"] = cat(("wq", "wk", "wv"))
+    out["w13"] = cat(("w1", "w3"))
+    return out
+
+
 def _layer_forward(
     h: jnp.ndarray,
     lp: dict,
@@ -121,9 +154,16 @@ def _layer_forward(
 
     # --- attention ---
     x = rms_norm(h, lp["sa_norm"], cfg.norm_eps)
-    q = proj(x, "wq").reshape(B, S, cfg.num_heads, D)
-    k = proj(x, "wk").reshape(B, S, cfg.num_kv_heads, D)
-    v = proj(x, "wv").reshape(B, S, cfg.num_kv_heads, D)
+    if "wqkv" in lp:  # fused inference layout (fuse_projections)
+        qd, kvd = cfg.num_heads * D, cfg.num_kv_heads * D
+        qkv = proj(x, "wqkv")
+        q = qkv[..., :qd].reshape(B, S, cfg.num_heads, D)
+        k = qkv[..., qd : qd + kvd].reshape(B, S, cfg.num_kv_heads, D)
+        v = qkv[..., qd + kvd :].reshape(B, S, cfg.num_kv_heads, D)
+    else:
+        q = proj(x, "wq").reshape(B, S, cfg.num_heads, D)
+        k = proj(x, "wk").reshape(B, S, cfg.num_kv_heads, D)
+        v = proj(x, "wv").reshape(B, S, cfg.num_kv_heads, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -152,8 +192,13 @@ def _layer_forward(
 
     # --- SwiGLU MLP ---
     x = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(proj(x, "w1"))
-    up = proj(x, "w3")
+    if "w13" in lp:  # fused inference layout
+        I = cfg.intermediate_dim
+        g13 = proj(x, "w13")
+        gate, up = jax.nn.silu(g13[..., :I]), g13[..., I:]
+    else:
+        gate = jax.nn.silu(proj(x, "w1"))
+        up = proj(x, "w3")
     h = h + proj(gate * up, "w2")
     return h, new_kv
 
@@ -213,7 +258,16 @@ def transformer_apply(
     # indices clamp harmlessly (those slots are never attended).
     cos, sin = rope_at_positions(cfg, positions)
 
-    layer_names = ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "sa_norm", "mlp_norm")
+    layer_names = (
+        ("wqkv",) if "wqkv" in params else ("wq", "wk", "wv")
+    ) + (
+        ("w13",) if "w13" in params else ("w1", "w3")
+    ) + ("wo", "w2", "sa_norm", "mlp_norm")
+    if "wqkv" in params and lora is not None:
+        raise ValueError(
+            "fused projections (fuse_projections) require LoRA adapters to "
+            "be merged first (training/lora.merge_lora)"
+        )
     stacked = {name: params[name] for name in layer_names}
 
     if cache is not None:

@@ -35,6 +35,7 @@ Design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Dict, List, NamedTuple, Optional
 
@@ -240,6 +241,13 @@ class BatchedServer:
 
             if not is_quantized(params["backbone"]["wq"]):
                 params = jax.jit(quantize_csm_params)(params)
+        if mesh is None and os.environ.get("CSM_TPU_NO_FUSE") != "1":
+            # single-device decode: fused qkv / gate-up projection layout
+            # (same math, fewer/larger HBM streams; meshes keep separate
+            # projections — TP shards q/k/v head groups independently)
+            from csm_tpu.models.csm import fuse_csm_params
+
+            params = fuse_csm_params(params)
         self.params = params
         self.args = args
         self.mesh = mesh
