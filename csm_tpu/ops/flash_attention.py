@@ -192,6 +192,14 @@ def _pad_to(x, axis, mult, value=0):
 def _blocks(S, T, block_q):
     BQ = min(block_q, max(128, 1 << (S - 1).bit_length()))
     BK = min(512, max(128, 1 << (T - 1).bit_length()))
+    # Long context: the scoped-VMEM stack holds the T-resident K/V copy
+    # plus ~8 (qpk·BQ, BK) f32 softmax temporaries; at T≈8.7k and BQ=256
+    # that sums to ~17 MiB > the 16 MiB default limit (raising the limit
+    # slows the Mosaic compile ~20×, see the pallas_call NOTE).  BQ=128
+    # measures within 3% of BQ=256 (BENCHMARKS.md), so shrink the query
+    # block instead.
+    if T > 6144:
+        BQ = min(BQ, 128)
     return BQ, BK
 
 

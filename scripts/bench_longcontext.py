@@ -12,8 +12,11 @@ Writes one summary line per config to stderr and a JSON dict to stdout.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +25,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
 from csm_tpu.models.config import csm_1b_args  # noqa: E402
+from csm_tpu.utils.transport import warm_transport  # noqa: E402
 from csm_tpu.models.csm import init_csm_params  # noqa: E402
 from csm_tpu.models.generation import generate_audio_tokens  # noqa: E402
 
@@ -32,6 +36,7 @@ def log(*a):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    warm_transport(verbose=True)
     buckets = [4096, 8192]
     for a in argv:
         if a.startswith("--buckets"):
@@ -56,12 +61,19 @@ def main(argv=None):
         td, md = jnp.asarray(toks), jnp.asarray(msk)
 
         for max_frames, tag in ((1, "prefill"), (126, "decode")):
-            gen = jax.jit(
-                lambda p, k, mf=max_frames: generate_audio_tokens(
-                    p, args, k, td, md, lens, max_frames=mf,
+            # prompt/lens are jit ARGUMENTS: closed-over device arrays
+            # become embedded constants (slow const handling on the
+            # tunneled rig; csm_tpu/utils/transport.py module notes)
+            gen_arg = jax.jit(
+                lambda p, k, t, m, ln, mf=max_frames: generate_audio_tokens(
+                    p, args, k, t, m, ln, max_frames=mf,
                     temperature=0.9, topk=50,
                 )
             )
+
+            def gen(p, k):
+                return gen_arg(p, k, td, md, lens)
+
             t0 = time.time()
             int(jnp.sum(gen(params, jax.random.key(0)).frames))
             compile_s = time.time() - t0
