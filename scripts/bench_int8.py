@@ -1,18 +1,26 @@
 """int8 vs bf16 single-stream CSM-1B generation. See BENCHMARKS.md."""
-import time, sys, jax, jax.numpy as jnp, numpy as np
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 from csm_tpu.models.config import csm_1b_args
-from csm_tpu.models.csm import init_csm_params
+from csm_tpu.models.csm import fuse_csm_params, init_csm_params
 from csm_tpu.models.generation import generate_audio_tokens
 from csm_tpu.utils.quantize import quantize_csm_params
+from csm_tpu.utils.transport import warm_transport
 def log(*a): print(*a, file=sys.stderr, flush=True)
 
+warm_transport(verbose=True)
 args = csm_1b_args()
 K = args.audio_num_codebooks
-params = jax.jit(lambda k: init_csm_params(k, args, jnp.bfloat16))(jax.random.key(0))
+# fused decode layout = what Generator/BatchedServer run on one device
+# (quantize operates on the separate layout, so quantize THEN fuse)
+def _init(k):
+    p = init_csm_params(k, args, jnp.bfloat16)
+    return fuse_csm_params(p), fuse_csm_params(quantize_csm_params(p))
+params, qparams = jax.jit(_init)(jax.random.key(0))
 jax.block_until_ready(params["audio_head"])
-qparams = jax.jit(quantize_csm_params)(params)
-jax.block_until_ready(qparams["backbone"]["wq"]["w8"])
+jax.block_until_ready(qparams["backbone"]["wqkv"]["w8"])
 B, S, max_frames = 1, 64, 125
 toks = jnp.zeros((B,S,K+1), jnp.int32).at[:,:,-1].set(5)
 msk = jnp.zeros((B,S,K+1), bool).at[:,:,-1].set(True)
