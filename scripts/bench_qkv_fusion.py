@@ -88,8 +88,11 @@ def main():
         np.random.default_rng(1).standard_normal((1, E)) * 0.02, jnp.bfloat16
     )
 
+    # weights are jit ARGUMENTS, not closures: closed-over device arrays
+    # are baked into the program as constants (slow const handling at
+    # trace/compile time; see csm_tpu/utils/transport.py module notes)
     @jax.jit
-    def scan_sep(x):
+    def scan_sep_w(x, w):
         def body(h, lp):
             q = h @ lp["wq"]
             k = h @ lp["wk"]
@@ -99,11 +102,11 @@ def main():
             h = h + a @ lp["wo"]
             g = jax.nn.silu(h @ lp["w1"]) * (h @ lp["w3"])
             return h + g @ lp["w2"], None
-        h, _ = jax.lax.scan(body, x, sep)
+        h, _ = jax.lax.scan(body, x, w)
         return h
 
     @jax.jit
-    def scan_fus(x):
+    def scan_fus_w(x, w):
         def body(h, lp):
             qkv = h @ lp["wqkv"]
             q, k, v = qkv[:, :qd], qkv[:, qd:qd + kvd], qkv[:, qd + kvd:]
@@ -112,8 +115,14 @@ def main():
             g13 = h @ lp["w13"]
             g = jax.nn.silu(g13[:, :I]) * g13[:, I:]
             return h + g @ lp["w2"], None
-        h, _ = jax.lax.scan(body, x, fus)
+        h, _ = jax.lax.scan(body, x, w)
         return h
+
+    def scan_sep(x):
+        return scan_sep_w(x, sep)
+
+    def scan_fus(x):
+        return scan_fus_w(x, fus)
 
     report = {}
     for name, fn in (("separate(7/layer)", scan_sep), ("fused(4/layer)", scan_fus)):
@@ -123,6 +132,12 @@ def main():
         log(f"{name}: {ms:.3f} ms ({gbs:.0f} GB/s effective)")
 
     # per-op floor: single matvec of each size, chained
+    @jax.jit
+    def one_w(x, w):
+        y = x @ w
+        # fold back to x's shape so the chain types match
+        return x + jnp.sum(y) * 1e-9
+
     for shape in ((E, kvd), (E, qd), (E, I), (E, 2 * I)):
         w = jax.jit(
             lambda s=shape: jax.random.normal(
@@ -130,11 +145,8 @@ def main():
             ) * 0.02
         )()
 
-        @jax.jit
-        def one(x, w=w, shape=shape):
-            y = x @ w
-            # fold back to x's shape so the chain types match
-            return x + jnp.sum(y) * 1e-9
+        def one(x, w=w):
+            return one_w(x, w)
 
         ms = timed(one, x0, tag=str(shape)) * 1e3
         gbs = shape[0] * shape[1] * 2 / (ms / 1e3) / 1e9
