@@ -239,7 +239,9 @@ class BatchedServer:
         if weight_dtype == "int8":
             from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
 
-            if not is_quantized(params["backbone"]["wq"]):
+            bb = params["backbone"]
+            probe = bb["wqkv"] if "wqkv" in bb else bb["wq"]
+            if not is_quantized(probe):
                 params = jax.jit(quantize_csm_params)(params)
         if mesh is None and os.environ.get("CSM_TPU_NO_FUSE") != "1":
             # single-device decode: fused qkv / gate-up projection layout

@@ -41,7 +41,11 @@ def is_quantized(w) -> bool:
 
 def quantize_transformer(tp: dict) -> dict:
     out = dict(tp)
-    for name in QUANTIZED_PROJS:
+    # also cover the fused inference layout (models/llama.fuse_projections):
+    # per-out-channel scales make quantize(fuse(w)) == fuse(quantize(w))
+    for name in QUANTIZED_PROJS + ("wqkv", "w13"):
+        if name not in tp:
+            continue
         # idempotent: an already-quantized projection is reused as-is (the
         # multi-speaker trainer shares ONE quantized base across speakers)
         out[name] = tp[name] if is_quantized(tp[name]) else quantize_weight(tp[name])

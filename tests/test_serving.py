@@ -171,10 +171,11 @@ def test_weight_dtype_policy(tiny):
               compute_dtype=jnp.float32, chunk_size=2)
     lo = BatchedServer(params, args, n_slots=1, weight_dtype="auto", **kw)
     assert lo.weight_dtype == "int8"
-    assert is_quantized(lo.params["backbone"]["wq"])
+    # single-device servers run the fused decode layout (wqkv)
+    assert is_quantized(lo.params["backbone"]["wqkv"])
     hi = BatchedServer(params, args, n_slots=128, weight_dtype="auto", **kw)
     assert hi.weight_dtype == "int8"
-    assert is_quantized(hi.params["backbone"]["wq"])
+    assert is_quantized(hi.params["backbone"]["wqkv"])
 
     req = make_request(args, 6, rid=0, seed=1, max_frames=4)
     r_auto, _ = lo.run([req])
