@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only quantization (~1.6x faster decode)")
+    p.add_argument("--int4", action="store_true",
+                   help="grouped int4 weight-only quantization (Pallas "
+                        "fused-dequant kernel; fastest decode, more "
+                        "quantization error than --int8)")
     p.add_argument("--flavor", choices=("1b", "tiny"), default="1b",
                    help="Model shape for --model-path checkpoints: 1b "
                         "(default) or tiny (tiny layers, full 1B token "

@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KV-cache storage: int8 quantizes K/V at write "
                         "(half the decode cache HBM stream, 2x slot "
                         "capacity per GiB)")
-    p.add_argument("--weight-dtype", choices=("bf16", "int8", "auto"),
+    p.add_argument("--weight-dtype", choices=("bf16", "int8", "int4", "auto"),
                    default="bf16",
                    help="int8 halves weight reads (faster at every measured "
                         "slot count); bf16 is the quality-conservative default")

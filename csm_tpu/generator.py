@@ -366,7 +366,7 @@ def load_csm_1b(
     mimi_path: Optional[str] = None,
     watermarker=None,
     compute_dtype=jnp.bfloat16,
-    quantize: bool = False,
+    quantize="none",
     kv_int8: bool = False,
     args: Optional[ModelArgs] = None,
     lora_path: Optional[str] = None,
@@ -380,8 +380,10 @@ def load_csm_1b(
     checkpoint directory; None → random init (no network egress here, so
     there is no HF auto-download — pass local files).
     ``mimi_path`` — Mimi safetensors/pt checkpoint; None → random init.
-    ``quantize`` — int8 weight-only quantization of the transformer stacks
-    (~1.6x faster bandwidth-bound decode; csm_tpu/utils/quantize.py).
+    ``quantize`` — weight-only quantization of the transformer stacks:
+    False/"none", True/"int8" (~1.6x faster bandwidth-bound decode), or
+    "int4" (grouped 4-bit + Pallas fused-dequant kernel; another ~1.4x on
+    the weight stream — csm_tpu/utils/quantize.py, ops/int4_matmul.py).
     ``kv_int8`` — int8 KV cache (quantize-at-write, half the decode-time
     cache HBM stream; csm_tpu/ops/kvcache.py).
     ``lora_path`` — optional adapter directory from ``csm-finetune-lora``
@@ -415,10 +417,17 @@ def load_csm_1b(
             )
         params = _cast(merge_lora(params, lora, lcfg), compute_dtype)
 
-    if quantize:
+    qmode = {False: "none", True: "int8", None: "none"}.get(quantize, quantize)
+    if qmode == "int8":
         from csm_tpu.utils.quantize import quantize_csm_params
 
         params = quantize_csm_params(params)
+    elif qmode == "int4":
+        from csm_tpu.utils.quantize import quantize_csm_params_int4
+
+        params = jax.jit(quantize_csm_params_int4)(params)
+    elif qmode != "none":
+        raise ValueError(f"quantize must be none|int8|int4, got {quantize!r}")
 
     if mimi_path is None:
         mimi_params = mimi_init(jax.random.key(1), CSM_MIMI_CONFIG)

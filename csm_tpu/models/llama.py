@@ -86,10 +86,13 @@ def fuse_projections(tp: dict) -> dict:
 
     def cat(names):
         ws = [tp[n] for n in names]
-        if isinstance(ws[0], dict):  # int8 weight-only quantization
+        if isinstance(ws[0], dict):
+            # quantized formats concatenate field-wise: int8 (w8/scale) and
+            # grouped int4 (w4p/scale4) both pack/scale along axes that are
+            # unaffected by an out-axis concat
             return {
-                "w8": jnp.concatenate([w["w8"] for w in ws], axis=-1),
-                "scale": jnp.concatenate([w["scale"] for w in ws], axis=-1),
+                k: jnp.concatenate([w[k] for w in ws], axis=-1)
+                for k in ws[0]
             }
         return jnp.concatenate(ws, axis=-1)
 
@@ -129,7 +132,13 @@ def _layer_forward(
 
     def proj(x, name):
         w = lp[name]
-        if isinstance(w, dict):  # int8 weight-only quantization
+        if isinstance(w, dict) and "w4p" in w:  # grouped int4
+            # XLA can't fuse the nibble unpack, so decode shapes run the
+            # Pallas fused-dequant kernel (csm_tpu/ops/int4_matmul.py)
+            from csm_tpu.ops.int4_matmul import int4_matmul
+
+            y = int4_matmul(x, w)
+        elif isinstance(w, dict):  # int8 weight-only quantization
             # XLA fuses the convert into the matmul operand load, so only
             # int8 bytes stream from HBM (csm_tpu/utils/quantize.py)
             y = (x @ w["w8"].astype(x.dtype)) * w["scale"].astype(x.dtype)

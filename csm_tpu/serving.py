@@ -227,8 +227,9 @@ class BatchedServer:
         csm_tpu/ops/kvcache.py) and dequantizes inside the attention
         load — halves the decode-time cache HBM stream AND doubles the
         slot capacity per GiB (the serving ceiling per BENCHMARKS.md)."""
-        if weight_dtype not in ("bf16", "int8", "auto"):
-            raise ValueError(f"weight_dtype must be bf16|int8|auto, got {weight_dtype!r}")
+        if weight_dtype not in ("bf16", "int8", "int4", "auto"):
+            raise ValueError(
+                f"weight_dtype must be bf16|int8|int4|auto, got {weight_dtype!r}")
         if weight_dtype == "auto":
             weight_dtype = "int8"
         self.weight_dtype = weight_dtype
@@ -236,12 +237,20 @@ class BatchedServer:
             raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
         self.kv_dtype = kv_dtype
         self._kv_dtype_jnp = jnp.int8 if kv_dtype == "int8" else None
-        if weight_dtype == "int8":
-            from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
+        if weight_dtype == "int4" and mesh is not None:
+            raise ValueError("weight_dtype=int4 is single-device only (the "
+                             "fused-dequant kernel is not sharded)")
+        if weight_dtype in ("int8", "int4"):
+            from csm_tpu.utils.quantize import (
+                is_quantized, is_quantized_int4, quantize_csm_params,
+                quantize_csm_params_int4)
 
             bb = params["backbone"]
             probe = bb["wqkv"] if "wqkv" in bb else bb["wq"]
-            if not is_quantized(probe):
+            if weight_dtype == "int4":
+                if not is_quantized_int4(probe):
+                    params = jax.jit(quantize_csm_params_int4)(params)
+            elif not is_quantized(probe):
                 params = jax.jit(quantize_csm_params)(params)
         if mesh is None and os.environ.get("CSM_TPU_NO_FUSE") != "1":
             # single-device decode: fused qkv / gate-up projection layout

@@ -59,3 +59,99 @@ def quantize_csm_params(params: dict, components=("backbone", "decoder")) -> dic
     for comp in components:
         out[comp] = quantize_transformer(params[comp])
     return out
+
+
+# ---------------------------------------------------------------------------
+# int4 grouped quantization (opt-in; Pallas fused-dequant kernel)
+#
+# XLA fuses int8→bf16 converts into matmul operand loads, but it will NOT
+# fuse a nibble unpack (measured: the unpacked weights materialize and the
+# "int4" scan runs slower than bf16 — scripts/bench_int4_probe.py), so
+# int4 decode needs the custom kernel in csm_tpu/ops/int4_matmul.py.
+#
+# Layout: {"w4p": uint8 (..., in/2, out), "scale4": bf16 (..., in/gs, out)}.
+# Nibbles are TWO'S-COMPLEMENT int4 (q ∈ [-7, 7]) packed over ADJACENT
+# INPUT ROWS: byte row r holds input row 2r in the low nibble and input
+# row 2r + 1 in the high nibble.  That is exactly the element order of
+# Mosaic's sub-byte bitcast (uint8 → int4 doubles the sublane axis,
+# low nibble first), so the kernel unpacks a whole block with ONE
+# hardware bitcast + convert instead of mask/shift VPU arithmetic — the
+# arithmetic unpack measured VPU-bound at ~2.5 simple ops/weight, slower
+# than just reading int8.  Per-(group, out-channel) scales (group_size
+# along the INPUT axis) keep 4-bit error local, the standard grouped
+# int4 recipe.
+# ---------------------------------------------------------------------------
+
+INT4_GROUP_SIZE = 128
+
+
+def quantize_weight_int4(w: jnp.ndarray, group_size: int = INT4_GROUP_SIZE) -> dict:
+    """(..., in, out) float → {"w4p", "scale4"} grouped int4."""
+    wf = w.astype(jnp.float32)
+    K, N = wf.shape[-2], wf.shape[-1]
+    group_size = min(group_size, K)  # tiny test models: one group per column
+    if K % group_size or group_size % 2:
+        raise ValueError(f"in dim {K} must divide by even group_size {group_size}")
+    G = K // group_size
+    grp = wf.reshape(*wf.shape[:-2], G, group_size, N)
+    amax = jnp.max(jnp.abs(grp), axis=-2, keepdims=True)  # (..., G, 1, N)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(grp / scale), -7, 7).astype(jnp.int32)
+    q = q.reshape(*wf.shape[:-2], K, N)
+    lo = q[..., 0::2, :] & 0x0F  # two's-complement nibbles
+    hi = q[..., 1::2, :] & 0x0F
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    # no "gs" leaf: the group size is derivable from shapes
+    # (gs = 2·w4p.rows / scale4.groups), and a scalar leaf would break
+    # lax.scan slicing of layer-stacked trees
+    return {
+        "w4p": packed,
+        "scale4": scale[..., 0, :].astype(jnp.bfloat16),  # (..., G, N)
+    }
+
+
+def dequantize_weight_int4(q: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Reference unpack: exact inverse of quantize_weight_int4's packing."""
+    p, scale = q["w4p"], q["scale4"]
+    K2, N = p.shape[-2], p.shape[-1]
+    G = scale.shape[-2]
+    gs = 2 * K2 // G
+    p32 = p.astype(jnp.int32)
+    lo = ((p32 & 0x0F) ^ 8) - 8  # sign-extend the nibble
+    hi = ((p32 >> 4) ^ 8) - 8
+    full = jnp.stack([lo, hi], axis=-2)  # (..., K/2, 2, N)
+    full = full.reshape(*p.shape[:-2], 2 * K2, N).astype(jnp.float32)
+    grp = full.reshape(*p.shape[:-2], G, gs, N)
+    w = grp * scale[..., :, None, :].astype(jnp.float32)
+    return w.reshape(*p.shape[:-2], 2 * K2, N).astype(dtype)
+
+
+def is_quantized_int4(w) -> bool:
+    return isinstance(w, dict) and "w4p" in w
+
+
+def quantize_transformer_int4(tp: dict, group_size: int = INT4_GROUP_SIZE) -> dict:
+    out = dict(tp)
+    for name in QUANTIZED_PROJS + ("wqkv", "w13"):
+        if name not in tp:
+            continue
+        w = tp[name]
+        if is_quantized_int4(w):
+            continue
+        if is_quantized(w):
+            raise ValueError(f"{name} is already int8-quantized; int4 must "
+                             "quantize from the float weights")
+        out[name] = quantize_weight_int4(w, group_size)
+    return out
+
+
+def quantize_csm_params_int4(
+    params: dict,
+    components=("backbone", "decoder"),
+    group_size: int = INT4_GROUP_SIZE,
+) -> dict:
+    """Grouped-int4 quantize the transformer stacks (inference only)."""
+    out = dict(params)
+    for comp in components:
+        out[comp] = quantize_transformer_int4(params[comp], group_size)
+    return out

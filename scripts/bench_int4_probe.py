@@ -22,15 +22,33 @@ qd, kvd = 2048, 512
 SHAPES = {"wqkv": (E, qd + 2 * kvd), "wo": (qd, E), "w13": (E, 2 * I), "w2": (I, E)}
 
 
-def timed(fn, *a, n=3):
-    r = fn(*a); jax.block_until_ready(r)
-    best = 1e9
+def _pack_nibbles(w8):
+    """(..., in, out) int8 in [-7,7] -> (..., in//2, out) uint8 packed."""
+    lo = w8[..., 0::2, :] & 0x0F
+    hi = w8[..., 1::2, :] & 0x0F
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def _unpack_nibbles(p, dtype):
+    """Inverse of _pack_nibbles -> (..., in, out) dtype (sign-extended)."""
+    i8 = p.astype(jnp.int8)
+    lo = (i8 << 4) >> 4          # arithmetic shift sign-extends the nibble
+    hi = i8 >> 4
+    st = jnp.stack([lo, hi], axis=-2)  # (..., in//2, 2, out)
+    sh = p.shape[:-2] + (2 * p.shape[-2], p.shape[-1])
+    return st.reshape(sh).astype(dtype)
+
+
+def timed(fn, x, w, n=50):
+    """Chained timing (tunnel-safe): each call consumes the previous
+    output; one scalar fetch at the end forces the whole chain."""
+    out = fn(x, w)
+    float(jnp.sum(out))  # compile + first fetch
+    t0 = time.time()
     for _ in range(n):
-        t0 = time.time()
-        r = fn(*a)
-        jax.block_until_ready(r)
-        best = min(best, time.time() - t0)
-    return best
+        out = fn(out, w)
+    float(jnp.sum(out))
+    return (time.time() - t0) / n
 
 
 def main():
@@ -40,8 +58,11 @@ def main():
     def init(k):
         ks = jax.random.split(k, len(SHAPES))
         out = {}
+        from csm_tpu.utils.quantize import quantize_weight_int4
+
         for kk, (name, sh) in zip(ks, SHAPES.items()):
             w = jax.random.normal(kk, (L,) + sh, jnp.float32) * 0.02
+            q4 = quantize_weight_int4(w)
             amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
             s8 = jnp.maximum(amax, 1e-8) / 127.0
             s4 = jnp.maximum(amax, 1e-8) / 7.0
@@ -49,8 +70,13 @@ def main():
                 "bf16": w.astype(jnp.bfloat16),
                 "w8": jnp.clip(jnp.round(w / s8), -127, 127).astype(jnp.int8),
                 "s8": s8.astype(jnp.bfloat16),
-                "w4": jnp.clip(jnp.round(w / s4), -7, 7).astype(jnp.int4),
+                # packed nibbles: byte i holds rows 2i (low) and 2i+1
+                # (high) of the input axis — jnp.int4 itself cannot cross
+                # a jit boundary on this backend (device_put recursion)
+                "w4p": _pack_nibbles(jnp.clip(jnp.round(w / s4), -7, 7)
+                                     .astype(jnp.int8)),
                 "s4": s4.astype(jnp.bfloat16),
+                "w4k": q4["w4p"], "s4k": q4["scale4"],
             }
         return out
 
@@ -65,9 +91,14 @@ def main():
             def mm(name, x):
                 if kind == "bf16":
                     return x @ lp[name]["bf16"]
-                wq = lp[name]["w8"] if kind == "int8" else lp[name]["w4"]
-                s = lp[name]["s8"] if kind == "int8" else lp[name]["s4"]
-                return (x @ wq.astype(x.dtype)) * s[0]
+                if kind == "int8":
+                    return (x @ lp[name]["w8"].astype(x.dtype)) * lp[name]["s8"][0]
+                if kind == "int4_kernel":
+                    from csm_tpu.ops.int4_matmul import int4_matmul
+                    return int4_matmul(
+                        x, {"w4p": lp[name]["w4k"], "scale4": lp[name]["s4k"]})
+                w = _unpack_nibbles(lp[name]["w4p"], x.dtype)
+                return (x @ w) * lp[name]["s4"][0]
             a = mm("wqkv", h)[:, :qd]  # qd == E: stands in for attention out
             h = h + mm("wo", a)
             g13 = mm("w13", h)
@@ -79,10 +110,16 @@ def main():
             return h
         return run
 
+    KEYS = {"bf16": ("bf16",), "int8": ("w8", "s8"), "int4": ("w4p", "s4"),
+            "int4_kernel": ("w4k", "s4k")}
     n_weights = sum(sh[0] * sh[1] for sh in SHAPES.values()) * L
-    for kind, bpw in (("bf16", 2.0), ("int8", 1.0), ("int4", 0.5)):
+    for kind, bpw in (("bf16", 2.0), ("int8", 1.0), ("int4", 0.5),
+                      ("int4_kernel", 0.5)):
         fn = make_scan(kind)
-        dt = timed(fn, x0, W)
+        # pass ONLY the format under test: unused scan xs are not always
+        # DCE'd and their per-iteration slices pollute the bandwidth
+        w_kind = {n: {k: W[n][k] for k in KEYS[kind]} for n in SHAPES}
+        dt = timed(fn, x0, w_kind)
         gbs = n_weights * bpw / dt / 1e9
         log(f"{kind}: {dt*1e3:.3f} ms  ({gbs:.0f} GB/s effective at "
             f"{bpw} B/weight ideal)")

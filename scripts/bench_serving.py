@@ -1,4 +1,6 @@
-import time, sys, gc, jax, jax.numpy as jnp, numpy as np
+import os, time, sys, gc
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 from csm_tpu.models.config import csm_1b_args
 from csm_tpu.models.csm import init_csm_params
