@@ -39,6 +39,13 @@ def add_lora_args(p: argparse.ArgumentParser):
         "16 GiB chip; adapters stay float and absorb the quantization "
         "error (QLoRA-style)",
     )
+    g.add_argument(
+        "--int4-base", action="store_true",
+        help="store the frozen base as grouped int4 "
+        "(csm_tpu/utils/quantize.quantize_weight_int4): quarter of the "
+        "bf16 frozen-weight HBM, larger quantization error for the "
+        "adapters to absorb",
+    )
     return p
 
 
@@ -107,7 +114,8 @@ def make_lora_trainer(args):
         target_layers=args.target_layers,
         apply_to_backbone=not args.no_backbone_lora,
         apply_to_decoder=not args.no_decoder_lora,
-        int8_base=args.int8_base,
+        quant_base=("int4" if args.int4_base
+                    else "int8" if args.int8_base else None),
         semantic_weight=args.semantic_weight,
         acoustic_weight=args.acoustic_weight,
     )

@@ -147,13 +147,23 @@ def _xla_reference(x, q):
     return x @ w
 
 
+@jax.custom_vjp
 def int4_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
     """(..., K) @ grouped-int4 (K, N) → (..., x.dtype).
 
     Leading dims are flattened to M rows; decode-sized M runs the Pallas
     fused-dequant kernel, larger M the XLA dequant path (MXU-bound).
     Set CSM_TPU_NO_INT4_KERNEL=1 to force the XLA path everywhere.
+
+    Differentiable in ``x`` (custom VJP: dx = g · Wᵀ through the XLA
+    dequant — the int4-base LoRA mode trains float adapters against a
+    frozen int4 base, so the weights themselves never need gradients;
+    their cotangents are zeros/float0).
     """
+    return _int4_matmul_impl(x, q)
+
+
+def _int4_matmul_impl(x: jnp.ndarray, q: dict) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
@@ -165,10 +175,33 @@ def int4_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
         and _pick_bn(q["w4p"].shape[-1]) is not None
         and gs % 2 == 0 and (gs // 2) % 32 == 0  # uint8 sublane tile
         and os.environ.get("CSM_TPU_NO_INT4_KERNEL") != "1"
-        and jax.default_backend() != "cpu"
+        and (jax.default_backend() != "cpu"
+             # AOT-lowering for a TPU topology from a CPU-only driver
+             # (the 8B fit proof in __graft_entry__) must trace the SAME
+             # program the chip runs
+             or os.environ.get("CSM_TPU_FORCE_INT4_KERNEL") == "1")
     )
     if use_kernel:
         y = _int4_matmul_kernel(x2, q["w4p"], q["scale4"])
     else:
         y = _xla_reference(x2, q)
     return y.reshape(*lead, y.shape[-1])
+
+
+def _int4_matmul_fwd(x, q):
+    return _int4_matmul_impl(x, q), q
+
+
+def _int4_matmul_bwd(q, g):
+    w = dequantize_weight_int4(q, g.dtype)
+    dx = g @ w.T
+    dq = jax.tree.map(
+        lambda v: jnp.zeros(v.shape, jax.dtypes.float0)
+        if not jnp.issubdtype(v.dtype, jnp.floating)
+        else jnp.zeros_like(v),
+        q,
+    )
+    return dx, dq
+
+
+int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)

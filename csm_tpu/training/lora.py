@@ -140,12 +140,14 @@ def merge_lora(params: dict, lora: dict, lcfg: LoRAConfig) -> dict:
     """W' = W + (A @ B) * scaling, returning a full merged param tree
     (reference: src/csm/mlx/components/lora.py:140-153, 705-738).
 
-    With an int8-quantized base (csm_tpu/utils/quantize.py, the
-    ``int8_base`` LoRA trainer mode) each TARGETED projection is
-    dequantized to bf16 before its delta is added; untargeted
-    projections keep their stored layout (the model forward handles
-    mixed float/int8 trees transparently)."""
-    from csm_tpu.utils.quantize import dequantize_weight, is_quantized
+    With a quantized base (csm_tpu/utils/quantize.py, the ``quant_base``
+    LoRA trainer modes: int8 per-out-channel or grouped int4) each
+    TARGETED projection is dequantized to bf16 before its delta is
+    added; untargeted projections keep their stored layout (the model
+    forward handles mixed float/quantized trees transparently)."""
+    from csm_tpu.utils.quantize import (
+        dequantize_weight, dequantize_weight_int4, is_quantized,
+        is_quantized_int4)
 
     merged = dict(params)
     for comp in ("backbone", "decoder"):
@@ -157,6 +159,8 @@ def merge_lora(params: dict, lora: dict, lcfg: LoRAConfig) -> dict:
             base = sub[name]
             if is_quantized(base):
                 base = dequantize_weight(base, jnp.bfloat16)
+            elif is_quantized_int4(base):
+                base = dequantize_weight_int4(base, jnp.bfloat16)
             sub[name] = base + delta.astype(base.dtype)
         merged[comp] = sub
     return merged

@@ -483,38 +483,52 @@ class CSMLoRATrainer(CSMTrainer):
         apply_to_backbone: bool = True,
         apply_to_decoder: bool = True,
         int8_base: bool = False,
+        quant_base: Optional[str] = None,
         **kw,
     ):
         # QLoRA-style memory mode: store the FROZEN base transformer
-        # stacks as int8 (per-out-channel scales); the layer forward
-        # dequantizes in the matmul load (csm_tpu/models/llama.py) and
-        # only the float adapters receive gradients, so training quality
-        # rests on the adapters absorbing the (small, validated ~0.1%
-        # token-KL) quantization error.  Halves the frozen-weight HBM —
-        # the lever that fits 8B LoRA fine-tuning on ONE 16 GiB chip
-        # (__graft_entry__._compile_8b_int8_lora).
-        self.int8_base = bool(int8_base)
+        # stacks quantized; the layer forward dequantizes in the matmul
+        # (csm_tpu/models/llama.py) and only the float adapters receive
+        # gradients, so training quality rests on the adapters absorbing
+        # the quantization error.  ``quant_base``: None | "int8" | "int4"
+        # (``int8_base=True`` is the original alias for "int8").  int8
+        # halves the frozen-weight HBM — fits 8B LoRA on ONE 16 GiB chip
+        # (__graft_entry__._compile_8b_int8_lora); int4 (grouped scales,
+        # csm_tpu/utils/quantize.quantize_weight_int4) quarters it at a
+        # larger quantization error for the adapters to absorb.
+        if int8_base and quant_base not in (None, "int8"):
+            raise ValueError("pass either int8_base or quant_base, not both")
+        quant_base = "int8" if int8_base else quant_base
+        if quant_base not in (None, "int8", "int4"):
+            raise ValueError(f"quant_base must be int8|int4, got {quant_base!r}")
+        self.quant_base = quant_base
+        self.int8_base = quant_base == "int8"  # kept for back-compat callers
         par = kw.get("parallel")
-        if self.int8_base and par is not None and (
+        if quant_base is not None and par is not None and (
             par.model_parallel > 1 or par.fsdp or par.pipeline_parallel > 1
         ):
             raise ValueError(
-                "int8_base supports single-device, data-parallel and "
-                "sequence-parallel layouts (the point is NOT needing "
-                "model sharding); drop --int8-base or the model-sharding "
-                "flags"
+                "a quantized base (int8_base / quant_base) supports "
+                "single-device, data-parallel and sequence-parallel "
+                "layouts (the point is NOT needing model sharding); drop "
+                "the quantized-base or the model-sharding flags"
             )
         super().__init__(
             model_path=model_path, output_dir=output_dir,
             learning_rate=learning_rate, **kw,
         )
-        if self.int8_base:
-            from csm_tpu.utils.quantize import is_quantized, quantize_csm_params
+        if quant_base is not None:
+            from csm_tpu.utils.quantize import (
+                is_quantized, is_quantized_int4, quantize_csm_params,
+                quantize_csm_params_int4)
 
             # already-quantized base (multi-speaker trainers share ONE
             # frozen base): reuse it — re-jitting would copy ~1 GiB/speaker
-            if not is_quantized(self.params["backbone"]["wq"]):
+            probe = self.params["backbone"]["wq"]
+            if quant_base == "int8" and not is_quantized(probe):
                 self.params = jax.jit(quantize_csm_params)(self.params)
+            elif quant_base == "int4" and not is_quantized_int4(probe):
+                self.params = jax.jit(quantize_csm_params_int4)(self.params)
         self.lora_config = lora_mod.LoRAConfig(
             r=lora_r,
             alpha=lora_alpha,

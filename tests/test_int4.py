@@ -173,3 +173,100 @@ def test_serving_int4_rejects_mesh():
     with pytest.raises(ValueError, match="single-device"):
         BatchedServer(params, args, n_slots=1, weight_dtype="int4",
                       mesh=mesh, max_seq_len=96, compute_dtype=jnp.float32)
+
+
+# ---- int4-base LoRA (QLoRA-style, quant_base="int4") ----
+
+
+def test_int4_base_loss_matches_dequantized():
+    """The int4-base loss must match the loss on the DEQUANTIZED copy of
+    the same base (quantization error is real; the dequantized tree
+    isolates the compute path, incl. the custom-VJP matmul)."""
+    from csm_tpu.training.lora import LoRAConfig, init_lora_params
+    from csm_tpu.training.losses import compute_loss
+    from test_training import make_batch
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    q = quantize_csm_params_int4(params, group_size=32)
+    deq = jax.tree.map(
+        lambda w: dequantize_weight_int4(w, jnp.float32)
+        if is_quantized_int4(w) else w,
+        q, is_leaf=is_quantized_int4,
+    )
+    lcfg = LoRAConfig(r=4)
+    lora = init_lora_params(jax.random.key(1), args, lcfg)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    batch = make_batch(args, B=2, T=8, seed=0)
+    kw = dict(lora=lora, lora_scale=lcfg.scaling, compute_dtype=jnp.float32)
+    l_q, _ = compute_loss(q, args, jax.random.key(2), batch, **kw)
+    l_d, _ = compute_loss(deq, args, jax.random.key(2), batch, **kw)
+    np.testing.assert_allclose(float(l_q), float(l_d), rtol=2e-5)
+
+
+def test_int4_base_training_reduces_loss():
+    from csm_tpu.training.lora import LoRAConfig, init_lora_params
+    from csm_tpu.training.optimizer import TrainState, make_lora_optimizer
+    from csm_tpu.training.train_step import make_lora_train_step
+    from test_training import make_batch
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    base = quantize_csm_params_int4(params, group_size=32)
+    lcfg = LoRAConfig(r=4)
+    lora = init_lora_params(jax.random.key(1), args, lcfg)
+    tx = make_lora_optimizer(learning_rate=5e-3)
+    step = make_lora_train_step(args, tx, lcfg.scaling,
+                                compute_dtype=jnp.float32)
+    state = TrainState(lora, tx.init(lora), jnp.zeros((), jnp.int32))
+    batch = make_batch(args, B=2, T=8, seed=0)
+    w4_before = np.asarray(base["backbone"]["wq"]["w4p"]).copy()
+
+    losses = []
+    for i in range(6):
+        state, m = step(state, base, jax.random.key(10 + i), batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert float(jnp.abs(state.params["backbone"]["wq"]["b"]).max()) > 0
+    np.testing.assert_array_equal(
+        np.asarray(base["backbone"]["wq"]["w4p"]), w4_before)
+
+
+def test_int4_base_merge():
+    """merge_lora on an int4 base dequantizes targeted projections and
+    adds the adapter delta."""
+    from csm_tpu.training.lora import (LoRAConfig, init_lora_params,
+                                       merge_lora)
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    base = quantize_csm_params_int4(params, group_size=32)
+    lcfg = LoRAConfig(r=4)
+    lora = init_lora_params(jax.random.key(1), args, lcfg)
+    lora = jax.tree.map(lambda x: x + 0.02, lora)
+    merged = merge_lora(base, lora, lcfg)
+    wq = merged["backbone"]["wq"]
+    assert not is_quantized_int4(wq)
+    ref = dequantize_weight_int4(base["backbone"]["wq"], jnp.bfloat16)
+    delta = jnp.einsum(
+        "lir,lro->lio", lora["backbone"]["wq"]["a"],
+        lora["backbone"]["wq"]["b"]) * lcfg.scaling
+    np.testing.assert_allclose(
+        np.asarray(wq, np.float32),
+        np.asarray(ref + delta.astype(ref.dtype), np.float32), rtol=1e-2)
+
+
+def test_trainer_quant_base_int4(tmp_path):
+    from csm_tpu.training.trainer import CSMLoRATrainer
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    tr = CSMLoRATrainer(
+        output_dir=str(tmp_path), args=args, params=params,
+        quant_base="int4", compute_dtype=jnp.float32, remat=False,
+    )
+    assert is_quantized_int4(tr.params["backbone"]["wq"])
+    with pytest.raises(ValueError, match="not both"):
+        CSMLoRATrainer(output_dir=str(tmp_path), args=args, params=params,
+                       int8_base=True, quant_base="int4",
+                       compute_dtype=jnp.float32, remat=False)
