@@ -38,9 +38,12 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     warm_transport(verbose=True)
     buckets = [4096, 8192]
+    kv_dtype = None
     for a in argv:
         if a.startswith("--buckets"):
             buckets = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a == "--kv-int8":
+            kv_dtype = jnp.int8
 
     args = csm_1b_args(max_seq_len=max(buckets) + 1024)
     K = args.audio_num_codebooks
@@ -49,7 +52,9 @@ def main(argv=None):
     )
     jax.block_until_ready(params["audio_head"])
     rng = np.random.default_rng(0)
-    report = {"max_seq_len": args.backbone.max_seq_len, "configs": []}
+    report = {"max_seq_len": args.backbone.max_seq_len,
+              "kv_dtype": "int8" if kv_dtype is not None else "bf16",
+              "configs": []}
 
     for S_pad in buckets:
         T = S_pad - 8  # prompt nearly fills the bucket
@@ -67,7 +72,7 @@ def main(argv=None):
             gen_arg = jax.jit(
                 lambda p, k, t, m, ln, mf=max_frames: generate_audio_tokens(
                     p, args, k, t, m, ln, max_frames=mf,
-                    temperature=0.9, topk=50,
+                    temperature=0.9, topk=50, kv_dtype=kv_dtype,
                 )
             )
 
