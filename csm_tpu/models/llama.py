@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from csm_tpu.models.config import TransformerConfig
 from csm_tpu.ops.attention import gqa_attention
-from csm_tpu.ops.kvcache import KVCache, dequantize_kv, update_layer
+from csm_tpu.ops.kvcache import KVCache, QuantKV, dequantize_kv, update_layer
 from csm_tpu.ops.norms import rms_norm
 from csm_tpu.ops.rope import apply_rope, rope_at_positions
 
@@ -189,9 +189,32 @@ def _layer_forward(
         k_cache, v_cache = update_layer(kv_layer[0], kv_layer[1], k, v, cache_offset)
         # int8 caches dequantize at the attention load (convert+scale fuse
         # into the matmul operand read; only int8 bytes stream from HBM)
-        attn = attend(
-            q, dequantize_kv(k_cache, q.dtype), dequantize_kv(v_cache, q.dtype)
-        )
+        kd = dequantize_kv(k_cache, q.dtype)
+        vd = dequantize_kv(v_cache, q.dtype)
+        use_decode_kernel = False
+        import os as _os
+        if (S == 1 and attn_impl is None and flash_pos is None
+                and not isinstance(k_cache, QuantKV)
+                and _os.environ.get("CSM_TPU_DECODE_KERNEL") == "1"):
+            # OPT-IN experiment (CSM_TPU_DECODE_KERNEL=1): a Pallas
+            # decode-attention kernel (csm_tpu/ops/decode_attention.py).
+            # Measured end-to-end NEUTRAL on this rig — Pallas block DMA
+            # streams the cache no faster than XLA's attention here, so
+            # the default stays XLA; the effective long-context decode
+            # lever is the int8 KV cache (BENCHMARKS.md §long context).
+            # Quantized caches keep the XLA path either way — feeding
+            # the kernel would materialize the dequantized copy.
+            from csm_tpu.ops.decode_attention import decode_supported
+            from csm_tpu.ops.flash_attention import flash_available
+
+            use_decode_kernel = flash_available() and decode_supported(
+                q, kd, mask)
+        if use_decode_kernel:
+            from csm_tpu.ops.decode_attention import decode_gqa_attention
+
+            attn = decode_gqa_attention(q, kd, vd, mask)
+        else:
+            attn = attend(q, kd, vd)
         new_kv = (k_cache, v_cache)
     else:
         attn = attend(q, k, v)
