@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Serve CSM TTS requests (TPU)")
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--mimi-path", type=str, default=None)
+    p.add_argument("--adapter", action="append", default=None,
+                   metavar="NAME=PATH",
+                   help="load a LoRA adapter dir under NAME (repeatable): "
+                        "multi-LoRA serving — requests pick an adapter "
+                        "with their JSON 'adapter' field; omitted = base "
+                        "model. One server serves every speaker's "
+                        "fine-tune (csm-finetune-lora-multi output)")
     p.add_argument("--lora-path", type=str, default=None,
                    help="LoRA adapter directory: merged into the base at "
                         "load (serve a fine-tune from the lora-only artifact)")
@@ -601,14 +608,25 @@ def main(argv=None) -> int:
             args.max_seq_len - bucket,
         ))
         return StreamRequest(tokens, mask, max_frames=max_frames,
-                             request_id=r.get("id", i))
+                             request_id=r.get("id", i),
+                             adapter=r.get("adapter"))
 
+    adapters = None
+    if args.adapter:
+        adapters = {}
+        for spec in args.adapter:
+            if "=" not in spec:
+                print(f"--adapter must be NAME=PATH, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            name, path = spec.split("=", 1)
+            adapters[name] = path
     server = BatchedServer(
         generator.params, generator.args, n_slots=args.n_slots,
         max_seq_len=args.max_seq_len, temperature=args.temperature,
         topk=args.topk, compute_dtype=generator.compute_dtype,
         chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
-        kv_dtype=args.kv_dtype,
+        kv_dtype=args.kv_dtype, adapters=adapters,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     from csm_tpu.data.audio import save_wav

@@ -194,8 +194,17 @@ def generate_frame(
     topk: int,
     compute_dtype=jnp.bfloat16,
     last_idx: Optional[jnp.ndarray] = None,
+    lora: Optional[dict] = None,
+    lora_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, FrameState]:
     """Generate one 32-codebook audio frame (jittable).
+
+    ``lora``/``lora_ids`` — optional ADAPTER BANK for multi-LoRA serving
+    ({"backbone": tree|None, "decoder": tree|None}, trees layer-stacked
+    (L, A, ...) with scaling folded into b — training/lora.fuse_lora_bank)
+    plus per-row adapter ids (B,) int32; id 0 is the zero adapter (base
+    model).  The reference can only serve ONE fine-tune per process; a
+    bank serves every speaker's adapter from one batched server.
 
     Equivalent of the reference ``Model.generate_frame``
     (src/csm/models/model.py:140-195) with the 31-iteration decoder loop
@@ -240,9 +249,12 @@ def generate_frame(
         bb_mask, flash_pos = None, (input_pos, new_kv_pos)
     else:
         bb_mask, flash_pos = causal_mask_from_positions(input_pos, new_kv_pos), None
+    bb_lora = lora.get("backbone") if lora else None
+    dec_lora = lora.get("decoder") if lora else None
+    # bank scaling is folded into b (fuse_lora_bank), so scale = 1
     h, new_cache = transformer_apply(
         params["backbone"], bb, h, input_pos, bb_mask, state.cache, state.offset,
-        flash_pos=flash_pos,
+        flash_pos=flash_pos, lora=bb_lora, lora_ids=lora_ids, lora_scale=1.0,
     )
     new_state = FrameState(new_cache, state.offset + S, new_kv_pos)
 
@@ -266,7 +278,9 @@ def generate_frame(
     pos01 = jnp.broadcast_to(jnp.arange(2), (B, 2))
     dec_mask = causal_mask_from_positions(pos01, dec_kv_pos)
     dec_h, dec_cache = transformer_apply(
-        params["decoder"], dec, proj_h, pos01, dec_mask, dec_cache, jnp.zeros((), jnp.int32)
+        params["decoder"], dec, proj_h, pos01, dec_mask, dec_cache,
+        jnp.zeros((), jnp.int32), lora=dec_lora, lora_ids=lora_ids,
+        lora_scale=1.0,
     )
     c1_logits = (dec_h[:, -1, :] @ params["audio_head"][0]).astype(jnp.float32)
     c1_sample = sample_topk(keys[1], c1_logits, topk, temperature)
@@ -283,7 +297,8 @@ def generate_frame(
         pos = jnp.broadcast_to(i[None, None], (B, 1))
         mask = causal_mask_from_positions(pos, dec_kv_pos)
         dh, dec_cache = transformer_apply(
-            params["decoder"], dec, proj, pos, mask, dec_cache, i
+            params["decoder"], dec, proj, pos, mask, dec_cache, i,
+            lora=dec_lora, lora_ids=lora_ids, lora_scale=1.0,
         )
         logits = (dh[:, -1, :] @ head).astype(jnp.float32)
         sample = sample_topk(k_i, logits, topk, temperature)

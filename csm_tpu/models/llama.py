@@ -116,6 +116,7 @@ def _layer_forward(
     lora_dropout_rate: float = 0.0,
     lora_key: Optional[jax.Array] = None,
     attn_impl=None,
+    lora_ids: Optional[jnp.ndarray] = None,
 ):
     """One transformer block. Returns (h, (k_cache, v_cache)|None).
 
@@ -158,7 +159,19 @@ def _layer_forward(
                 xa = jnp.where(keep, x / (1.0 - lora_dropout_rate), 0.0).astype(
                     x.dtype
                 )
-            y = y + ((xa @ ad["a"].astype(x.dtype)) @ ad["b"].astype(x.dtype)) * lora_scale
+            if ad["a"].ndim == 3:
+                # ADAPTER BANK (multi-LoRA serving): per-layer (A, in, r)
+                # with per-ROW ids — each batch row applies its own
+                # adapter (id 0 = zeros = base model).  Scaling is folded
+                # into b at bank build time (training/lora.fuse_lora_bank)
+                a = ad["a"][lora_ids].astype(x.dtype)  # (B, in, r)
+                b = ad["b"][lora_ids].astype(x.dtype)  # (B, r, out)
+                y = y + jnp.einsum(
+                    "bsr,bro->bso", jnp.einsum("bsi,bir->bsr", xa, a), b
+                ) * lora_scale
+            else:
+                y = y + ((xa @ ad["a"].astype(x.dtype))
+                         @ ad["b"].astype(x.dtype)) * lora_scale
         return y
 
     # --- attention ---
@@ -250,6 +263,7 @@ def transformer_apply(
     lora_dropout_rate: float = 0.0,
     lora_dropout_key: Optional[jax.Array] = None,
     attn_impl=None,
+    lora_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the transformer.
 
@@ -296,10 +310,12 @@ def transformer_apply(
         ("w13",) if "w13" in params else ("w1", "w3")
     ) + ("wo", "w2", "sa_norm", "mlp_norm")
     if "wqkv" in params and lora is not None:
-        raise ValueError(
-            "fused projections (fuse_projections) require LoRA adapters to "
-            "be merged first (training/lora.merge_lora)"
-        )
+        if not set(lora).issubset({"wqkv", "w13", "wo", "w2"}):
+            raise ValueError(
+                "fused projections (fuse_projections) require LoRA adapters "
+                "to be merged first (training/lora.merge_lora) or fused into "
+                "bank form (training/lora.fuse_lora_bank)"
+            )
     stacked = {name: params[name] for name in layer_names}
 
     if cache is not None:
@@ -310,7 +326,7 @@ def transformer_apply(
             h_new, kv = _layer_forward(
                 carry, lp, cfg, cos, sin, mask, (kc, vc), cache_offset,
                 lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, lora_ids=lora_ids,
             )
             return h_new, kv
 
@@ -331,7 +347,7 @@ def transformer_apply(
                 carry, lp, cfg, cos, sin, mask, None, None,
                 lora=lo, lora_scale=lora_scale, flash_pos=flash_pos,
                 lora_dropout_rate=lora_dropout_rate, lora_key=lk,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, lora_ids=lora_ids,
             )
             return h_new, None
 

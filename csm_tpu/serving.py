@@ -79,6 +79,7 @@ class StreamRequest:
     max_frames: int
     request_id: int = 0
     on_frames: Optional[Callable[[int, np.ndarray, bool], None]] = None
+    adapter: Optional[str] = None  # LoRA adapter name (multi-LoRA serving)
 
 
 @dataclasses.dataclass
@@ -131,7 +132,10 @@ def build_decode_fn(
     step_mask_live = jnp.zeros((1, K + 1), bool).at[0, :K].set(True)
 
     def decode(params, base_key, step_idx, state: csm.FrameState,
-               slots: SlotState, temperature):
+               slots: SlotState, temperature, bank=None, adapter_ids=None):
+        # ``bank``/``adapter_ids`` — optional multi-LoRA adapter bank
+        # (training/lora.fuse_lora_bank) + per-slot ids: every slot decodes
+        # with ITS OWN fine-tune in the same batched program (id 0 = base)
         key = jax.random.fold_in(base_key, step_idx)
         frames_buf = jnp.zeros((n_chunk, B, K), jnp.int32)
         counts = jnp.zeros((B,), jnp.int32)
@@ -156,6 +160,7 @@ def build_decode_fn(
             new_frame, state = csm.generate_frame(
                 params, args, jax.random.fold_in(key, t), tokens, mask, p,
                 state, temperature, topk, compute_dtype,
+                lora=bank, lora_ids=adapter_ids,
             )
             emit = live & ~jnp.all(new_frame == 0, axis=1)  # EOS emits 0
             new_frame = jnp.where(emit[:, None], new_frame, 0)
@@ -198,6 +203,7 @@ class BatchedServer:
         mesh=None,
         weight_dtype: str = "bf16",
         kv_dtype: str = "bf16",
+        adapters: Optional[dict] = None,
     ):
         """``chunk_size`` — max decode frames per host round-trip: admission
         latency granularity trades against per-dispatch overhead (a chunk
@@ -237,6 +243,9 @@ class BatchedServer:
             raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
         self.kv_dtype = kv_dtype
         self._kv_dtype_jnp = jnp.int8 if kv_dtype == "int8" else None
+        if adapters and mesh is not None:
+            raise ValueError("multi-LoRA serving (adapters=) is "
+                             "single-device only in this version")
         if weight_dtype == "int4" and mesh is not None:
             raise ValueError("weight_dtype=int4 is single-device only (the "
                              "fused-dequant kernel is not sharded)")
@@ -278,6 +287,30 @@ class BatchedServer:
                     f"{mesh.shape['data']}"
                 )
             self.params = shard_inference_params(params, mesh)
+
+        # multi-LoRA serving: load adapters into one fused-layout bank
+        # (training/lora.fuse_lora_bank); requests pick by name, slots
+        # carry ids, every decode chunk applies each slot's own adapter
+        self._bank = None
+        self._adapter_id: Dict[str, int] = {}
+        if adapters:
+            from csm_tpu.training.lora import fuse_lora_bank, load_lora
+
+            loaded = []
+            for i, (name, src_) in enumerate(adapters.items()):
+                if isinstance(src_, str):
+                    lora, lcfg, largs = load_lora(src_)
+                else:  # preloaded (lora_tree, LoRAConfig, ModelArgs)
+                    lora, lcfg, largs = src_
+                if largs is not None and largs != args:
+                    raise ValueError(
+                        f"adapter {name!r} was trained for a different "
+                        f"model shape")
+                loaded.append((lora, lcfg))
+                self._adapter_id[name] = i + 1  # 0 = base model
+            self._bank = jax.jit(
+                lambda: fuse_lora_bank(loaded, args, dtype=compute_dtype)
+            )()
 
         self._decode = self._build_decode(self.n_slots)
         self._admit = self._build_admit()
@@ -327,6 +360,7 @@ class BatchedServer:
         self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(self.n_slots)]
         self.slot_streamed = np.zeros(self.n_slots, np.int64)  # frames sent to on_frames
         self.active = np.zeros(self.n_slots, bool)
+        self._adapter_ids = np.zeros(self.n_slots, np.int32)
         self._step_count = 0
         self._base_key = jax.random.key(seed)
         self._key_epoch = 0
@@ -364,7 +398,7 @@ class BatchedServer:
         args, K = self.args, self.args.audio_num_codebooks
 
         def prefill(params, key, state: csm.FrameState, slot, tokens, mask,
-                    length, temperature):
+                    length, temperature, bank=None, aid=None):
             sub = csm.init_frame_state(
                 args, 1, self.compute_dtype,
                 max_seq_len=state.cache.max_seq_len,
@@ -376,6 +410,7 @@ class BatchedServer:
                 params, args, key, tokens, mask, pos, sub,
                 temperature, self.topk, self.compute_dtype,
                 last_idx=length[None] - 1,
+                lora=bank, lora_ids=aid,
             )
             # merge slot rows into the shared state (tree.map: quantized
             # caches carry {q, s} leaves, both 5-D, same slot axis)
@@ -426,12 +461,23 @@ class BatchedServer:
         toks[0, :T] = req.tokens
         msk[0, :T] = req.mask
 
+        aid = 0
+        if req.adapter is not None:
+            if req.adapter not in self._adapter_id:
+                raise ValueError(
+                    f"request {req.request_id}: unknown adapter "
+                    f"{req.adapter!r} (loaded: {sorted(self._adapter_id)})")
+            aid = self._adapter_id[req.adapter]
         prefill = self._prefill_fn(bucket)
+        pkw = {}
+        if self._bank is not None:
+            pkw = dict(bank=self._bank, aid=jnp.full((1,), aid, jnp.int32))
         frame0, self.state = prefill(
             self.params, self._next_key(), self.state, jnp.int32(slot),
             jnp.asarray(toks), jnp.asarray(msk), jnp.asarray(T, jnp.int32),
-            jnp.float32(self.temperature),
+            jnp.float32(self.temperature), **pkw,
         )
+        self._adapter_ids[slot] = aid
         self.slots = self._admit(
             self.slots, jnp.int32(slot), frame0, jnp.int32(T),
             jnp.int32(req.max_frames),
@@ -589,9 +635,16 @@ class BatchedServer:
             if c not in self._decode_small:
                 self._decode_small[c] = self._build_decode(c)
             sub_state, sub_slots = gather(self.state, self.slots, idx_dev)
+            dkw = {}
+            if self._bank is not None:
+                sub_ids = np.where(idx < self.n_slots,
+                                   self._adapter_ids[np.minimum(
+                                       idx, self.n_slots - 1)], 0)
+                dkw = dict(bank=self._bank,
+                           adapter_ids=jnp.asarray(sub_ids, jnp.int32))
             frames, counts, sub_slots, sub_state = self._decode_small[c](
                 self.params, self._base_key, self._step_count,
-                sub_state, sub_slots, jnp.float32(self.temperature),
+                sub_state, sub_slots, jnp.float32(self.temperature), **dkw,
             )
             # fetch BEFORE scatter: it donates the sub buffers
             f_host, counts_h, live_h = jax.device_get(
@@ -602,9 +655,13 @@ class BatchedServer:
             )
             row_of = {int(s): i for i, s in enumerate(live_idx)}
         else:
+            dkw = {}
+            if self._bank is not None:
+                dkw = dict(bank=self._bank,
+                           adapter_ids=jnp.asarray(self._adapter_ids))
             frames, counts, self.slots, self.state = self._decode(
                 self.params, self._base_key, self._step_count,
-                self.state, self.slots, jnp.float32(self.temperature),
+                self.state, self.slots, jnp.float32(self.temperature), **dkw,
             )
             # ONE host gather for the whole chunk
             f_host, counts_h, live_h = jax.device_get(

@@ -221,3 +221,110 @@ def interpolate_lora(loras: Sequence[dict], weights: Sequence[float]) -> dict:
     for lo, w in zip(loras[1:], ws[1:]):
         out = jax.tree.map(lambda acc, x, w=w: acc + x * w, out, lo)
     return out
+
+
+# ---- adapter bank (multi-LoRA serving; csm_tpu/serving.py) ----
+
+# separate projection -> (fused name, out-column offset fn)
+_FUSE_TARGET = {
+    "wq": ("wqkv", lambda c: 0),
+    "wk": ("wqkv", lambda c: c.num_heads * c.head_dim),
+    "wv": ("wqkv", lambda c: (c.num_heads + c.num_kv_heads) * c.head_dim),
+    "w1": ("w13", lambda c: 0),
+    "w3": ("w13", lambda c: c.intermediate_dim),
+    "wo": ("wo", lambda c: 0),
+    "w2": ("w2", lambda c: 0),
+}
+
+_FUSED_OUT = {
+    "wqkv": lambda c: (c.num_heads + 2 * c.num_kv_heads) * c.head_dim,
+    "w13": lambda c: 2 * c.intermediate_dim,
+    "wo": lambda c: c.embed_dim,
+    "w2": lambda c: c.embed_dim,
+}
+
+
+def fuse_lora_bank(adapters, args, dtype=jnp.bfloat16) -> dict:
+    """Stack adapters into a serving BANK over the FUSED param layout.
+
+    ``adapters`` — list of ``(lora_tree, LoRAConfig)`` as returned by
+    ``load_lora``.  Adapters may differ in rank, alpha, and target
+    modules.  Returns {"backbone": {fused_name: {"a", "b"}}, "decoder":
+    ...} with, per fused projection,
+
+        a: (L, A+1, in, R)    b: (L, A+1, R, out_fused)
+
+    where A = len(adapters), index 0 is the ZERO adapter (base model),
+    R = max total rank over adapters, and per-adapter scaling alpha/r is
+    FOLDED INTO b (so the forward uses lora_scale=1).  Separate
+    projections targeting one fused matmul (wq/wk/wv → wqkv, w1/w3 →
+    w13) are rank-CONCATENATED with their b blocks placed at the fused
+    out-column offsets — the low-rank forms add, so the fused adapter is
+    exactly the sum of the separate ones.  The layer axis leads for
+    ``lax.scan`` slicing (csm_tpu/models/llama.transformer_apply).
+    """
+    comps = {"backbone": args.backbone, "decoder": args.decoder}
+    # which fused names does any adapter touch, per component
+    touched = {c: set() for c in comps}
+    for lora, _cfg in adapters:
+        for comp in comps:
+            for name in (lora.get(comp) or {}):
+                touched[comp].add(_FUSE_TARGET[name][0])
+
+    # total rank per (comp, fused name) per adapter; R = max (+1 floor)
+    def total_rank(lora, comp, fused):
+        return sum(
+            ad["a"].shape[-1]
+            for name, ad in (lora.get(comp) or {}).items()
+            if _FUSE_TARGET[name][0] == fused
+        )
+
+    bank = {}
+    for comp, cfg in comps.items():
+        sub = {}
+        for fused in sorted(touched[comp]):
+            R = max(
+                [total_rank(lora, comp, fused) for lora, _ in adapters] + [1]
+            )
+            out_dim = _FUSED_OUT[fused](cfg)
+            in_dim = (
+                cfg.num_heads * cfg.head_dim if fused == "wo"
+                else cfg.intermediate_dim if fused == "w2"
+                else cfg.embed_dim
+            )
+            L = cfg.num_layers
+            a_bank = [jnp.zeros((L, in_dim, R), dtype)]  # id 0 = base
+            b_bank = [jnp.zeros((L, R, out_dim), dtype)]
+            for lora, lcfg in adapters:
+                a_parts, b_parts = [], []
+                for name, ad in sorted((lora.get(comp) or {}).items()):
+                    tgt, off_fn = _FUSE_TARGET[name]
+                    if tgt != fused:
+                        continue
+                    r = ad["a"].shape[-1]
+                    a_parts.append(ad["a"].astype(dtype))
+                    bpad = jnp.zeros((L, r, out_dim), dtype)
+                    off = off_fn(cfg)
+                    b = (ad["b"] * lcfg.scaling).astype(dtype)
+                    bpad = jax.lax.dynamic_update_slice(
+                        bpad, b, (0, 0, off)
+                    )
+                    b_parts.append(bpad)
+                if a_parts:
+                    a = jnp.concatenate(a_parts, axis=-1)
+                    b = jnp.concatenate(b_parts, axis=-2)
+                else:
+                    a = jnp.zeros((L, in_dim, 0), dtype)
+                    b = jnp.zeros((L, 0, out_dim), dtype)
+                pad_r = R - a.shape[-1]
+                if pad_r:
+                    a = jnp.pad(a, ((0, 0), (0, 0), (0, pad_r)))
+                    b = jnp.pad(b, ((0, 0), (0, pad_r), (0, 0)))
+                a_bank.append(a)
+                b_bank.append(b)
+            sub[fused] = {
+                "a": jnp.stack(a_bank, axis=1),  # (L, A+1, in, R)
+                "b": jnp.stack(b_bank, axis=1),  # (L, A+1, R, out)
+            }
+        bank[comp] = sub or None
+    return bank

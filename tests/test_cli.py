@@ -503,3 +503,45 @@ def test_http_handler_overload_503():
     t.join(timeout=10)
     assert " 200 " in out.splitlines()[0], out
     assert out.endswith("RIFFfake")
+
+
+def test_serve_multi_adapter_tiny(tmp_path):
+    """csm-serve --adapter NAME=PATH: requests route to their adapter by
+    the JSON 'adapter' field (multi-LoRA serving from disk artifacts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.models.config import tiny_test_args
+    from csm_tpu.training.lora import LoRAConfig, init_lora_params, save_lora
+
+    args = tiny_test_args()
+    cfg = LoRAConfig(r=2)
+    lora = jax.tree.map(
+        lambda x: x + 0.02, init_lora_params(jax.random.key(1), args, cfg)
+    )
+    adir = str(tmp_path / "alice_adapter")
+    save_lora(adir, lora, cfg, args)
+
+    lines = [
+        json.dumps({"id": "base", "text": "hello", "speaker": 0,
+                    "max_audio_length_ms": 400}),
+        json.dumps({"id": "tuned", "text": "hello", "speaker": 0,
+                    "max_audio_length_ms": 400, "adapter": "alice"}),
+    ]
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text("\n".join(lines))
+    out = tmp_path / "served"
+    rc = cli_serve.main([
+        "--requests", str(reqs), "--output-dir", str(out),
+        "--n-slots", "2", "--chunk-size", "2",
+        "--adapter", f"alice={adir}",
+        "--no-watermark", "--tiny-test",
+    ])
+    assert rc == 0
+    a_base, sr = load_wav(str(out / "base.wav"))
+    a_tuned, _ = load_wav(str(out / "tuned.wav"))
+    assert sr == 24_000
+    # the adapter must change the audio for the same prompt
+    n = min(a_base.shape[0], a_tuned.shape[0])
+    assert a_base.shape != a_tuned.shape or not np.allclose(
+        a_base[:n], a_tuned[:n])
