@@ -11,11 +11,12 @@ Generator, load_csm_1b, trainers, and the csm-* CLIs.
 
 __version__ = "0.1.0"
 
-from csm_tpu.generator import Generator, Segment, load_csm_1b
+from csm_tpu.generator import Generator, PackedContext, Segment, load_csm_1b
 from csm_tpu.models.config import ModelArgs, TransformerConfig, csm_1b_args
 
 __all__ = [
     "Generator",
+    "PackedContext",
     "Segment",
     "load_csm_1b",
     "ModelArgs",

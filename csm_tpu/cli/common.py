@@ -159,7 +159,9 @@ def build_generator(args, compute_dtype=None):
         mimi_path=getattr(args, "mimi_path", None),
         compute_dtype=dtype,
         quantize=("int4" if getattr(args, "int4", False)
-                  else "int8" if getattr(args, "int8", False) else "none"),
+                  else "int8" if getattr(args, "int8", False)
+                  else "int8-decoder" if getattr(args, "int8_decoder", False)
+                  else "none"),
         kv_int8=getattr(args, "kv_int8", False),
         args=margs,
         lora_path=getattr(args, "lora_path", None),

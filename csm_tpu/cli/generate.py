@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="Sampling RNG seed")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only quantization (~1.6x faster decode)")
+    p.add_argument("--int8-decoder", action="store_true",
+                   help="int8-quantize ONLY the acoustic decoder (most of "
+                        "--int8's decode speedup; the semantic backbone "
+                        "and codebook-0 logits stay bit-identical to bf16)")
     p.add_argument("--int4", action="store_true",
                    help="grouped int4 weight-only quantization (Pallas "
                         "fused-dequant kernel; fastest decode, more "

@@ -9,7 +9,10 @@ writes one wav per request, prints aggregate stats.
 
 Request lines: {"id": str|int, "text": "...", "speaker": 0,
                 "max_audio_length_ms": 10000, "context": [
-                  {"audio": "path.wav", "text": "...", "speaker": 1}, ...]}
+                  {"audio": "path.wav", "text": "...", "speaker": 1}, ...],
+                "prefix": "voice-a"}   # optional: a --prefix preset name —
+                  the preset's context KV is reused from the startup
+                  registration instead of re-prefilled per request
 
 Example:
     csm-serve --requests reqs.jsonl --output-dir out/ \
@@ -42,6 +45,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora-path", type=str, default=None,
                    help="LoRA adapter directory: merged into the base at "
                         "load (serve a fine-tune from the lora-only artifact)")
+    p.add_argument("--prefix", action="append", default=None,
+                   metavar="NAME=FILE.json",
+                   help="register a shared context prefix (repeatable): "
+                        "FILE.json holds {\"context\": [{audio, text, "
+                        "speaker}, ...]} (or a bare list). The context is "
+                        "Mimi-encoded and run through the backbone ONCE at "
+                        "startup; requests opt in with a JSON "
+                        "'prefix': NAME field and then carry only their "
+                        "own text (+ any extra context) — admission seeds "
+                        "the slot's KV from the cached prefix instead of "
+                        "re-prefilling the preset on every request")
     p.add_argument("--requests", type=str, default=None,
                    help="JSONL file of requests ('-' = stdin); required "
                         "unless --http")
@@ -56,10 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KV-cache storage: int8 quantizes K/V at write "
                         "(half the decode cache HBM stream, 2x slot "
                         "capacity per GiB)")
-    p.add_argument("--weight-dtype", choices=("bf16", "int8", "int4", "auto"),
+    p.add_argument("--weight-dtype",
+                   choices=("bf16", "int8", "int8-decoder", "int4", "auto"),
                    default="bf16",
                    help="int8 halves weight reads (faster at every measured "
-                        "slot count); bf16 is the quality-conservative default")
+                        "slot count); int8-decoder quantizes only the "
+                        "acoustic decoder (c0 logits stay bit-identical to "
+                        "bf16); bf16 is the quality-conservative default")
     p.add_argument("--temperature", type=float, default=0.9)
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--no-watermark", action="store_true")
@@ -583,6 +600,18 @@ def main(argv=None) -> int:
                 speaker=int(c["speaker"]), text=c["text"],
                 audio=load_audio(c["audio"], generator.sample_rate),
             ))
+        prefix = r.get("prefix")
+        pb = 0
+        if prefix is not None:
+            pre = server._prefixes.get(prefix)
+            if pre is None:
+                print(f"  skipping {r.get('id', i)}: unknown prefix "
+                      f"{prefix!r} (registered: "
+                      f"{sorted(server._prefixes)})", file=sys.stderr)
+                return None
+            pb = pre.bucket
+        # with a prefix, the request's own tokens hold only its extra
+        # context + text; the preset's frames live in the cached KV
         tokens, mask = generator._build_prompt(
             r["text"], int(r.get("speaker", 0)), ctx
         )
@@ -598,18 +627,18 @@ def main(argv=None) -> int:
             )
         except ValueError:
             bucket = args.max_seq_len  # prompt exceeds every bucket
-        if bucket + 1 > args.max_seq_len:
+        if pb + bucket + 1 > args.max_seq_len:
             print(f"  skipping {r.get('id', i)}: prompt ({tokens.shape[0]} "
-                  f"frames, bucket {bucket}) leaves no room in max_seq_len "
-                  f"{args.max_seq_len}", file=sys.stderr)
+                  f"frames, bucket {pb + bucket} incl. prefix) leaves no "
+                  f"room in max_seq_len {args.max_seq_len}", file=sys.stderr)
             return None
         max_frames = max(1, min(
             int(budget_ms / MS_PER_FRAME),
-            args.max_seq_len - bucket,
+            args.max_seq_len - pb - bucket,
         ))
         return StreamRequest(tokens, mask, max_frames=max_frames,
                              request_id=r.get("id", i),
-                             adapter=r.get("adapter"))
+                             adapter=r.get("adapter"), prefix=prefix)
 
     adapters = None
     if args.adapter:
@@ -628,6 +657,30 @@ def main(argv=None) -> int:
         chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
         kv_dtype=args.kv_dtype, adapters=adapters,
     )
+    if args.prefix:
+        from csm_tpu.data import frames as fr
+        from csm_tpu.data.audio import load_audio
+
+        for spec in args.prefix:
+            if "=" not in spec:
+                print(f"--prefix must be NAME=FILE.json, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            name, path = spec.split("=", 1)
+            with open(path) as f:
+                ctx = json.load(f)
+            if isinstance(ctx, dict):
+                ctx = ctx.get("context", [])
+            t0p = time.time()
+            parts = [generator._segment_frames(Segment(
+                speaker=int(c["speaker"]), text=c["text"],
+                audio=load_audio(c["audio"], generator.sample_rate),
+            )) for c in ctx]
+            tokens, mask = fr.concat_frames(parts)
+            pre = server.register_prefix(name, tokens, mask)
+            print(f"  prefix {name!r}: {pre.length} frames "
+                  f"(bucket {pre.bucket}) cached in "
+                  f"{time.time() - t0p:.2f}s")
     os.makedirs(args.output_dir, exist_ok=True)
     from csm_tpu.data.audio import save_wav
 

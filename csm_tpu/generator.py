@@ -49,6 +49,23 @@ class Segment:
     audio: np.ndarray  # float32 mono at 24 kHz
 
 
+@dataclasses.dataclass
+class PackedContext:
+    """A pre-encoded conversation context (voice preset).
+
+    ``Generator.precompute_context`` Mimi-encodes and frame-packs the
+    segments ONCE; the result is accepted anywhere a context segment
+    list is — repeated calls with the same preset skip the per-call
+    codec encode the reference pays every time
+    (src/csm/generator.py:117,174-185).  The serving analogue goes
+    further and caches the backbone KV too
+    (``BatchedServer.register_prefix``).
+    """
+
+    tokens: np.ndarray  # (T, K+1) int32
+    mask: np.ndarray  # (T, K+1) bool
+
+
 class Generator:
     """Contextual speech generator.
 
@@ -110,8 +127,16 @@ class Generator:
         codes = self.mimi.encode(np.asarray(seg.audio, np.float32))
         return fr.segment_frames(self.args, ids, codes)
 
-    def _build_prompt(self, text: str, speaker: int, context: List[Segment]):
-        parts = [self._segment_frames(s) for s in context]
+    def precompute_context(self, segments: List[Segment]) -> PackedContext:
+        """Encode + pack a context once for reuse across calls."""
+        parts = [self._segment_frames(s) for s in segments]
+        return PackedContext(*fr.concat_frames(parts))
+
+    def _build_prompt(self, text: str, speaker: int, context):
+        if isinstance(context, PackedContext):
+            parts = [(context.tokens, context.mask)]
+        else:
+            parts = [self._segment_frames(s) for s in context]
         ids = self.text_tokenizer.encode(f"[{speaker}]{text}")
         parts.append(fr.text_frames(self.args, ids))
         return fr.concat_frames(parts)
@@ -381,9 +406,11 @@ def load_csm_1b(
     there is no HF auto-download — pass local files).
     ``mimi_path`` — Mimi safetensors/pt checkpoint; None → random init.
     ``quantize`` — weight-only quantization of the transformer stacks:
-    False/"none", True/"int8" (~1.6x faster bandwidth-bound decode), or
-    "int4" (grouped 4-bit + Pallas fused-dequant kernel; another ~1.4x on
-    the weight stream — csm_tpu/utils/quantize.py, ops/int4_matmul.py).
+    False/"none", True/"int8" (~1.6x faster bandwidth-bound decode),
+    "int8-decoder" (quantize only the acoustic decoder: most of the
+    speed win with c0 logits bit-identical to bf16), or "int4" (grouped
+    4-bit + Pallas fused-dequant kernel; another ~1.4x on the weight
+    stream — csm_tpu/utils/quantize.py, ops/int4_matmul.py).
     ``kv_int8`` — int8 KV cache (quantize-at-write, half the decode-time
     cache HBM stream; csm_tpu/ops/kvcache.py).
     ``lora_path`` — optional adapter directory from ``csm-finetune-lora``
@@ -422,12 +449,22 @@ def load_csm_1b(
         from csm_tpu.utils.quantize import quantize_csm_params
 
         params = quantize_csm_params(params)
+    elif qmode == "int8-decoder":
+        # mixed precision: quantize ONLY the 100M acoustic decoder (31 of
+        # the ~12 ms frame's HBM reads re-stream it) — the semantic
+        # backbone and codebook-0 head stay bf16, so for the same token
+        # history the c0 logits are BIT-IDENTICAL to the unquantized
+        # model; only the acoustic codebooks carry quantization error
+        from csm_tpu.utils.quantize import quantize_csm_params
+
+        params = quantize_csm_params(params, components=("decoder",))
     elif qmode == "int4":
         from csm_tpu.utils.quantize import quantize_csm_params_int4
 
         params = jax.jit(quantize_csm_params_int4)(params)
     elif qmode != "none":
-        raise ValueError(f"quantize must be none|int8|int4, got {quantize!r}")
+        raise ValueError(
+            f"quantize must be none|int8|int8-decoder|int4, got {quantize!r}")
 
     if mimi_path is None:
         mimi_params = mimi_init(jax.random.key(1), CSM_MIMI_CONFIG)

@@ -80,6 +80,10 @@ class StreamRequest:
     request_id: int = 0
     on_frames: Optional[Callable[[int, np.ndarray, bool], None]] = None
     adapter: Optional[str] = None  # LoRA adapter name (multi-LoRA serving)
+    # name of a prefix registered via BatchedServer.register_prefix: the
+    # slot's cache is seeded with the cached context KV and ``tokens``
+    # holds ONLY the request's own frames (shared-prefix serving)
+    prefix: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -87,6 +91,30 @@ class StreamResult:
     request_id: int
     frames: np.ndarray  # (n, K) int32 audio codes
     n_steps: int
+
+
+class CachedPrefix(NamedTuple):
+    """A precomputed backbone-KV prefix (shared conversation context).
+
+    Production TTS serving reuses the same voice-preset context (prompt
+    audio + transcript segments) across many requests; the reference
+    re-runs the whole context through the backbone — and re-encodes the
+    context audio through Mimi — on EVERY call
+    (src/csm/generator.py:174-185).  ``register_prefix`` runs that work
+    ONCE; admission of a request naming the prefix seeds the slot's cache
+    rows with these K/V blocks (a ~2 bytes/token/layer/head device copy)
+    and prefills only the request's own text frames.
+
+    Device-resident.  Memory per prefix: L·PB·Hkv·D·2(k,v)·2B — ~32 KB per
+    token for CSM-1B bf16, halved under ``kv_dtype="int8"``.
+    """
+
+    k: object  # tree (L, 1, PB, Hkv, D): array, or QuantKV halves
+    v: object
+    kv_pos: jnp.ndarray  # (1, PB) int32 absolute positions (PAD_POS pad)
+    length: int  # real token count (host int)
+    bucket: int  # PB — cache columns the prefix occupies (host int)
+    adapter: Optional[str]  # adapter the prefix was computed under
 
 
 class SlotState(NamedTuple):
@@ -233,9 +261,11 @@ class BatchedServer:
         csm_tpu/ops/kvcache.py) and dequantizes inside the attention
         load — halves the decode-time cache HBM stream AND doubles the
         slot capacity per GiB (the serving ceiling per BENCHMARKS.md)."""
-        if weight_dtype not in ("bf16", "int8", "int4", "auto"):
+        if weight_dtype not in ("bf16", "int8", "int8-decoder", "int4",
+                                "auto"):
             raise ValueError(
-                f"weight_dtype must be bf16|int8|int4|auto, got {weight_dtype!r}")
+                f"weight_dtype must be bf16|int8|int8-decoder|int4|auto, "
+                f"got {weight_dtype!r}")
         if weight_dtype == "auto":
             weight_dtype = "int8"
         self.weight_dtype = weight_dtype
@@ -249,18 +279,27 @@ class BatchedServer:
         if weight_dtype == "int4" and mesh is not None:
             raise ValueError("weight_dtype=int4 is single-device only (the "
                              "fused-dequant kernel is not sharded)")
-        if weight_dtype in ("int8", "int4"):
+        if weight_dtype in ("int8", "int8-decoder", "int4"):
             from csm_tpu.utils.quantize import (
                 is_quantized, is_quantized_int4, quantize_csm_params,
                 quantize_csm_params_int4)
 
-            bb = params["backbone"]
-            probe = bb["wqkv"] if "wqkv" in bb else bb["wq"]
+            comp = "decoder" if weight_dtype == "int8-decoder" else "backbone"
+            tp = params[comp]
+            probe = tp["wqkv"] if "wqkv" in tp else tp["wq"]
             if weight_dtype == "int4":
                 if not is_quantized_int4(probe):
                     params = jax.jit(quantize_csm_params_int4)(params)
             elif not is_quantized(probe):
-                params = jax.jit(quantize_csm_params)(params)
+                # int8-decoder: mixed precision — only the acoustic
+                # decoder (re-streamed 31x per frame) quantizes; the
+                # semantic backbone + c0 head stay bf16 (c0 logits
+                # bit-identical to the unquantized model)
+                comps = (("decoder",) if weight_dtype == "int8-decoder"
+                         else ("backbone", "decoder"))
+                params = jax.jit(
+                    lambda p: quantize_csm_params(p, components=comps)
+                )(params)
         if mesh is None and os.environ.get("CSM_TPU_NO_FUSE") != "1":
             # single-device decode: fused qkv / gate-up projection layout
             # (same math, fewer/larger HBM streams; meshes keep separate
@@ -315,6 +354,11 @@ class BatchedServer:
         self._decode = self._build_decode(self.n_slots)
         self._admit = self._build_admit()
         self._prefills: Dict[int, Callable] = {}
+        # shared-prefix serving: registered context KV blocks + compiled
+        # programs (per prefix bucket / per (prefix, suffix) bucket pair)
+        self._prefixes: Dict[str, CachedPrefix] = {}
+        self._register_fns: Dict[int, Callable] = {}
+        self._prefix_prefills: Dict[tuple, Callable] = {}
         # live-slot compaction (single-device): decode variants + cache
         # gather/scatter programs per power-of-two capacity, built lazily
         self._decode_small: Dict[int, Callable] = {}
@@ -429,6 +473,142 @@ class BatchedServer:
         self._prefills[bucket] = fn
         return fn
 
+    # ---- shared-prefix serving ----
+
+    def _register_fn(self, bucket: int):
+        """Compiled prefix encoder: run the backbone over a (1, bucket)
+        context prompt and return its cache blocks (cache sized to the
+        bucket, not max_seq_len — prefixes store compactly)."""
+        if bucket in self._register_fns:
+            return self._register_fns[bucket]
+        args = self.args
+
+        def reg(params, tokens, mask, length, bank=None, aid=None):
+            sub = csm.init_frame_state(
+                args, 1, self.compute_dtype, max_seq_len=bucket,
+                kv_dtype=self._kv_dtype_jnp,
+            )
+            col = jnp.arange(bucket, dtype=jnp.int32)
+            pos = jnp.where(col[None, :] < length, col[None, :], csm.PAD_POS)
+            # generate_frame keeps registration on the exact production
+            # prefill path (flash-vs-XLA choice, fused layouts); the
+            # sampled frame is discarded — only the cache matters
+            _, sub = csm.generate_frame(
+                params, args, jax.random.key(0), tokens, mask, pos, sub,
+                1.0, self.topk, self.compute_dtype,
+                last_idx=length[None] - 1, lora=bank, lora_ids=aid,
+            )
+            return sub.cache.k, sub.cache.v, sub.kv_pos
+
+        fn = jax.jit(reg)
+        self._register_fns[bucket] = fn
+        return fn
+
+    def register_prefix(
+        self,
+        name: str,
+        tokens: np.ndarray,
+        mask: np.ndarray,
+        adapter: Optional[str] = None,
+    ) -> CachedPrefix:
+        """Precompute and cache the backbone KV for a shared context.
+
+        ``tokens``/``mask`` — the context frames only ((T, K+1), e.g.
+        ``frames.concat_frames`` over the voice preset's segments).
+        Requests opt in with ``StreamRequest(prefix=name, tokens=<own
+        frames only>)``; their admission seeds the slot cache with these
+        blocks instead of re-running the context.
+
+        ``adapter`` — compute the prefix under a loaded LoRA adapter.
+        Requests using the prefix must name the SAME adapter (the inline
+        path would apply the slot's adapter to the context too; a
+        base-model prefix under an adapter request would silently change
+        the math, so it raises instead).
+        """
+        T = int(tokens.shape[0])
+        # prefixes get a finer bucket list than requests (a 32 entry):
+        # their programs are keyed separately, so this costs nothing
+        # elsewhere and lets short presets leave more room for decode
+        bucket = bucket_length(
+            T, tuple(b for b in (32,) + PROMPT_BUCKETS
+                     if b <= self.max_seq_len)
+        )
+        if bucket + 1 >= self.max_seq_len:
+            raise ValueError(
+                f"prefix {name!r}: bucket {bucket} leaves no room for a "
+                f"request in max_seq_len {self.max_seq_len}"
+            )
+        aid = 0
+        if adapter is not None:
+            if adapter not in self._adapter_id:
+                raise ValueError(
+                    f"prefix {name!r}: unknown adapter {adapter!r} "
+                    f"(loaded: {sorted(self._adapter_id)})")
+            aid = self._adapter_id[adapter]
+        K = self.args.audio_num_codebooks
+        toks = np.zeros((1, bucket, K + 1), np.int32)
+        msk = np.zeros((1, bucket, K + 1), bool)
+        toks[0, :T] = tokens
+        msk[0, :T] = mask
+        pkw = {}
+        if self._bank is not None:
+            pkw = dict(bank=self._bank, aid=jnp.full((1,), aid, jnp.int32))
+        k, v, kv_pos = self._register_fn(bucket)(
+            self.params, jnp.asarray(toks), jnp.asarray(msk),
+            jnp.asarray(T, jnp.int32), **pkw,
+        )
+        pre = CachedPrefix(k, v, kv_pos, T, bucket, adapter)
+        self._prefixes[name] = pre
+        return pre
+
+    def _prefix_prefill_fn(self, pb: int, sb: int):
+        """Compiled prefix admission: seed one slot's cache columns
+        [0, pb) with a registered prefix, prefill the request's own
+        (1, sb) frames at columns [pb, pb+sb) with absolute positions
+        continuing the prefix, and merge into the shared state."""
+        if (pb, sb) in self._prefix_prefills:
+            return self._prefix_prefills[(pb, sb)]
+        args, K = self.args, self.args.audio_num_codebooks
+
+        def prefill(params, key, state: csm.FrameState, slot, pk, pv,
+                    p_kv_pos, p_len, tokens, mask, length, temperature,
+                    bank=None, aid=None):
+            sub = csm.init_frame_state(
+                args, 1, self.compute_dtype,
+                max_seq_len=state.cache.max_seq_len,
+                kv_dtype=self._kv_dtype_jnp,
+            )
+            place = lambda full, pre: jax.lax.dynamic_update_slice(  # noqa: E731
+                full, pre, (0,) * full.ndim
+            )
+            k = jax.tree.map(place, sub.cache.k, pk)
+            v = jax.tree.map(place, sub.cache.v, pv)
+            kv_pos = jax.lax.dynamic_update_slice(sub.kv_pos, p_kv_pos, (0, 0))
+            sub = csm.FrameState(KVCache(k, v), jnp.int32(pb), kv_pos)
+            col = jnp.arange(sb, dtype=jnp.int32)
+            pos = jnp.where(
+                col[None, :] < length, p_len + col[None, :], csm.PAD_POS
+            )
+            frame, sub = csm.generate_frame(
+                params, args, key, tokens, mask, pos, sub,
+                temperature, self.topk, self.compute_dtype,
+                last_idx=length[None] - 1, lora=bank, lora_ids=aid,
+            )
+            merge = lambda full, new: jax.lax.dynamic_update_slice(  # noqa: E731
+                full, new[:, :1], (0, slot, 0, 0, 0)
+            )
+            k = jax.tree.map(merge, state.cache.k, sub.cache.k)
+            v = jax.tree.map(merge, state.cache.v, sub.cache.v)
+            kv_pos = jax.lax.dynamic_update_slice(
+                state.kv_pos, sub.kv_pos[:1], (slot, 0)
+            )
+            offset = state.offset.at[slot].set(sub.offset)
+            return frame[0], csm.FrameState(KVCache(k, v), offset, kv_pos)
+
+        fn = jax.jit(prefill, donate_argnums=(2,))
+        self._prefix_prefills[(pb, sb)] = fn
+        return fn
+
     # ---- host-side orchestration ----
 
     def _next_key(self):
@@ -444,14 +624,31 @@ class BatchedServer:
             return None
         slot = int(free[0])
         T = req.tokens.shape[0]
+        pre = None
+        if req.prefix is not None:
+            if req.prefix not in self._prefixes:
+                raise ValueError(
+                    f"request {req.request_id}: unknown prefix "
+                    f"{req.prefix!r} (registered: "
+                    f"{sorted(self._prefixes)})")
+            pre = self._prefixes[req.prefix]
+            if (pre.adapter or None) != (req.adapter or None):
+                raise ValueError(
+                    f"request {req.request_id}: prefix {req.prefix!r} was "
+                    f"computed under adapter {pre.adapter!r} but the "
+                    f"request uses {req.adapter!r} — register the prefix "
+                    f"with adapter={req.adapter!r}")
+        pb = pre.bucket if pre is not None else 0
         bucket = bucket_length(
             T, tuple(b for b in PROMPT_BUCKETS if b <= self.max_seq_len)
         )
-        if bucket + req.max_frames > self.max_seq_len:
+        if pb + bucket + req.max_frames > self.max_seq_len:
             # device-side budgets stop decode exactly at max_frames, so no
             # chunk-size slack is needed
             raise ValueError(
-                f"request {req.request_id}: prompt bucket {bucket} + "
+                f"request {req.request_id}: "
+                + (f"prefix bucket {pb} + " if pb else "")
+                + f"prompt bucket {bucket} + "
                 f"max_frames {req.max_frames} exceeds max_seq_len "
                 f"{self.max_seq_len}"
             )
@@ -468,18 +665,31 @@ class BatchedServer:
                     f"request {req.request_id}: unknown adapter "
                     f"{req.adapter!r} (loaded: {sorted(self._adapter_id)})")
             aid = self._adapter_id[req.adapter]
-        prefill = self._prefill_fn(bucket)
         pkw = {}
         if self._bank is not None:
             pkw = dict(bank=self._bank, aid=jnp.full((1,), aid, jnp.int32))
-        frame0, self.state = prefill(
-            self.params, self._next_key(), self.state, jnp.int32(slot),
-            jnp.asarray(toks), jnp.asarray(msk), jnp.asarray(T, jnp.int32),
-            jnp.float32(self.temperature), **pkw,
-        )
+        if pre is not None:
+            prefill = self._prefix_prefill_fn(pre.bucket, bucket)
+            frame0, self.state = prefill(
+                self.params, self._next_key(), self.state, jnp.int32(slot),
+                pre.k, pre.v, pre.kv_pos, jnp.int32(pre.length),
+                jnp.asarray(toks), jnp.asarray(msk),
+                jnp.asarray(T, jnp.int32), jnp.float32(self.temperature),
+                **pkw,
+            )
+            pos0 = pre.length + T
+        else:
+            prefill = self._prefill_fn(bucket)
+            frame0, self.state = prefill(
+                self.params, self._next_key(), self.state, jnp.int32(slot),
+                jnp.asarray(toks), jnp.asarray(msk),
+                jnp.asarray(T, jnp.int32), jnp.float32(self.temperature),
+                **pkw,
+            )
+            pos0 = T
         self._adapter_ids[slot] = aid
         self.slots = self._admit(
-            self.slots, jnp.int32(slot), frame0, jnp.int32(T),
+            self.slots, jnp.int32(slot), frame0, jnp.int32(pos0),
             jnp.int32(req.max_frames),
         )
 

@@ -18,10 +18,12 @@ K = args.audio_num_codebooks
 def _init(k):
     p = init_csm_params(k, args, jnp.bfloat16)
     return (fuse_csm_params(p), fuse_csm_params(quantize_csm_params(p)),
+            fuse_csm_params(quantize_csm_params(p, components=("decoder",))),
             fuse_csm_params(quantize_csm_params_int4(p)))
-params, qparams, q4params = jax.jit(_init)(jax.random.key(0))
+params, qparams, qdparams, q4params = jax.jit(_init)(jax.random.key(0))
 jax.block_until_ready(params["audio_head"])
 jax.block_until_ready(qparams["backbone"]["wqkv"]["w8"])
+jax.block_until_ready(qdparams["decoder"]["wqkv"]["w8"])
 jax.block_until_ready(q4params["backbone"]["wqkv"]["w4p"])
 B, S, max_frames = 1, 64, 125
 toks = jnp.zeros((B,S,K+1), jnp.int32).at[:,:,-1].set(5)
@@ -31,7 +33,8 @@ def gen(p, k):
     return generate_audio_tokens(p, args, k, toks, msk, lens, max_frames=max_frames,
                                  temperature=0.9, topk=50, compute_dtype=jnp.bfloat16)
 g = jax.jit(gen)
-for name, p in (("bf16", params), ("int8", qparams), ("int4", q4params)):
+for name, p in (("bf16", params), ("int8", qparams),
+                ("int8-decoder", qdparams), ("int4", q4params)):
     r = g(p, jax.random.key(1)); jax.block_until_ready(r.frames)
     best = 1e9
     for i in range(3):

@@ -287,6 +287,13 @@ def check_int8(params, args) -> dict:
     )
     q8 = jax.jit(quantize_csm_params)(bf16)
     q4 = jax.jit(quantize_csm_params_int4)(bf16)
+    # mixed precision: decoder-only int8 (csm-generate --int8-decoder).
+    # Its c0 KL is 0 by construction (backbone + c0 head untouched);
+    # the quantization exposure is the acoustic codebooks, measured by
+    # the greedy frame-token match below.
+    qd = jax.jit(
+        lambda p: quantize_csm_params(p, components=("decoder",))
+    )(bf16)
 
     def c0_probs(p, dt):
         h = jax.jit(
@@ -321,19 +328,27 @@ def check_int8(params, args) -> dict:
         return np.asarray(res.frames)[0]
 
     f_bf16, f_int8, f_int4 = frames(bf16), frames(q8), frames(q4)
+    f_intd = frames(qd)
     greedy_match = float(np.mean(f_bf16 == f_int8))
     greedy_match4 = float(np.mean(f_bf16 == f_int4))
+    greedy_matchd = float(np.mean(f_bf16 == f_intd))
+    # decoder-only: the c0 column must agree exactly (same backbone)
+    c0_exact_decoder_only = bool(np.array_equal(f_bf16[:1, 0], f_intd[:1, 0]))
     return {
         # quantization is lossy by design: the bar is a small KL and
         # mostly-agreeing greedy tokens, not exactness.  int4's grouped
         # scales bound its KL higher than int8's — the PROMOTION RULE for
         # either mode (csm_tpu/serving.py header) stays: KL < 0.01 nats
         # AND greedy match >= 0.95 measured on the REAL checkpoint.
-        "pass": kl < 0.1,
+        # int8-decoder's rule needs only the greedy half (its c0 KL is
+        # structurally 0 until acoustic feedback diverges a trajectory).
+        "pass": kl < 0.1 and c0_exact_decoder_only,
         "c0_softmax_kl_bf16_vs_int8": kl,
         "greedy_token_match": greedy_match,
         "c0_softmax_kl_bf16_vs_int4": kl4,
         "greedy_token_match_int4": greedy_match4,
+        "greedy_token_match_int8_decoder": greedy_matchd,
+        "c0_frame0_exact_int8_decoder": c0_exact_decoder_only,
     }
 
 

@@ -215,6 +215,42 @@ def test_serve_stream_matches_batch(tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_serve_prefix_preset(tmp_path):
+    """csm-serve --prefix: a shared voice-preset context is Mimi-encoded
+    and prefilled ONCE at startup; requests opting in with "prefix" carry
+    only their own text.  Unknown prefix names are skipped, not fatal."""
+    t = np.arange(int(1.0 * 24_000)) / 24_000
+    ctx_wav = tmp_path / "ctx.wav"
+    save_wav(str(ctx_wav), (0.1 * np.sin(2 * np.pi * 220 * t)).astype(
+        np.float32), 24_000)
+    preset = tmp_path / "voice.json"
+    preset.write_text(json.dumps({"context": [
+        {"audio": str(ctx_wav), "text": "hi", "speaker": 1},
+    ]}))
+    lines = [
+        json.dumps({"id": "p0", "text": "with preset", "speaker": 0,
+                    "max_audio_length_ms": 400, "prefix": "warm"}),
+        json.dumps({"id": "plain", "text": "no preset", "speaker": 0,
+                    "max_audio_length_ms": 400}),
+        json.dumps({"id": "bad", "text": "x", "speaker": 0,
+                    "max_audio_length_ms": 400, "prefix": "nope"}),
+    ]
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text("\n".join(lines))
+    out = tmp_path / "served"
+    rc = cli_serve.main([
+        "--requests", str(reqs), "--output-dir", str(out),
+        "--prefix", f"warm={preset}",
+        "--n-slots", "2", "--chunk-size", "2",
+        "--no-watermark", "--tiny-test",
+    ])
+    assert rc == 0
+    for rid in ("p0", "plain"):
+        audio, sr = load_wav(str(out / f"{rid}.wav"))
+        assert sr == 24_000 and audio.shape[0] > 0
+    assert not os.path.exists(str(out / "bad.wav"))
+
+
 def test_stdin_poller_multi_line_and_partial():
     """--follow input handling: several JSONL lines arriving in ONE
     write() must all surface immediately (buffered readline strands all

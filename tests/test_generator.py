@@ -87,6 +87,26 @@ def test_generate_with_context(gen):
     assert audio.shape[0] <= 3 * SPF
 
 
+def test_packed_context_matches_segments(gen):
+    """precompute_context: the packed preset is byte-identical input to
+    the same segments inlined — generation matches exactly, and the
+    per-call Mimi encode is skipped."""
+    from csm_tpu.generator import PackedContext
+
+    args, g = gen
+    ctx = [
+        Segment(speaker=0, text="hello", audio=np.random.default_rng(2)
+                .normal(size=SPF * 3).astype(np.float32)),
+    ]
+    packed = g.precompute_context(ctx)
+    assert isinstance(packed, PackedContext)
+    a = g.generate("next", speaker=1, context=ctx,
+                   max_audio_length_ms=240, temperature=1.0, topk=1, seed=4)
+    b = g.generate("next", speaker=1, context=packed,
+                   max_audio_length_ms=240, temperature=1.0, topk=1, seed=4)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_prompt_length_contract(gen):
     """prompt_len must be < max_seq - max_frames
     (reference: src/csm/generator.py:192-194)."""

@@ -12,6 +12,7 @@ from csm_tpu.models.llama import transformer_apply
 from csm_tpu.ops.attention import causal_mask_from_positions
 from csm_tpu.utils.quantize import (
     dequantize_weight,
+    is_quantized,
     quantize_csm_params,
     quantize_weight,
 )
@@ -65,3 +66,57 @@ def test_quantized_generation_runs():
     frames = np.asarray(res.frames)
     assert frames.shape == (1, 3, K)
     assert frames.min() >= 0 and frames.max() < args.audio_vocab_size
+
+
+def test_int8_decoder_mixed_c0_exact():
+    """int8-decoder mixed precision: only the acoustic decoder is
+    quantized, so the semantic (codebook-0) token stream is BIT-IDENTICAL
+    to the bf16 model under the same key — the quality exposure is
+    confined to codebooks 1..K-1."""
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    qd = quantize_csm_params(params, components=("decoder",))
+    assert is_quantized(qd["decoder"]["wq"])
+    assert not is_quantized(qd["backbone"]["wq"])
+    K = args.audio_num_codebooks
+    toks = jnp.zeros((1, 8, K + 1), jnp.int32).at[:, :6, -1].set(3)
+    msk = jnp.zeros((1, 8, K + 1), bool).at[:, :6, -1].set(True)
+    run = jax.jit(
+        lambda p, k: generate_audio_tokens(
+            p, args, k, toks, msk, jnp.full((1,), 6, jnp.int32),
+            max_frames=4, temperature=1.0, topk=1, compute_dtype=jnp.float32,
+        )
+    )
+    ref = run(params, jax.random.key(1))
+    got = run(qd, jax.random.key(1))
+    # frame feedback embeds ALL codebooks into the next backbone step, so
+    # exactness holds per-frame only while the acoustic tokens agree;
+    # frame 0's c0 is computed from the text prompt alone -> always exact
+    np.testing.assert_array_equal(
+        np.asarray(got.frames)[0, 0, 0], np.asarray(ref.frames)[0, 0, 0]
+    )
+
+
+def test_server_int8_decoder_mode():
+    """BatchedServer(weight_dtype="int8-decoder"): backbone stays float,
+    decoder quantizes, serving runs end-to-end."""
+    from csm_tpu.serving import BatchedServer, StreamRequest
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(0), args, jnp.float32)
+    server = BatchedServer(params, args, n_slots=1, max_seq_len=128,
+                           temperature=1.0, topk=1,
+                           compute_dtype=jnp.float32,
+                           weight_dtype="int8-decoder")
+    bb = server.params["backbone"]
+    assert not is_quantized(bb["wqkv"] if "wqkv" in bb else bb["wq"])
+    dec = server.params["decoder"]
+    assert is_quantized(dec["wqkv"] if "wqkv" in dec else dec["wq"])
+    K = args.audio_num_codebooks
+    toks = np.zeros((6, K + 1), np.int32)
+    msk = np.zeros((6, K + 1), bool)
+    toks[:, -1] = 3
+    msk[:, -1] = True
+    results, _ = server.run([StreamRequest(toks, msk, max_frames=3,
+                                           request_id=0)])
+    assert results and results[0].frames.shape[1] == K
