@@ -366,11 +366,39 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                # Prometheus text exposition (no deps): scrapeable by any
+                # standard monitoring stack
+                lines = []
+                for name, typ, val in (
+                    ("csm_serve_slots", "gauge", server.n_slots),
+                    ("csm_serve_active_slots", "gauge",
+                     int(server.active.sum())),
+                    ("csm_serve_queue_depth", "gauge", inbox.qsize()),
+                    ("csm_serve_requests_total", "counter",
+                     stats_box.get("served", 0)),
+                    ("csm_serve_frames_total", "counter",
+                     stats_box.get("frames", 0)),
+                    ("csm_serve_uptime_seconds", "gauge",
+                     time.time() - stats_box.get("t0", time.time())),
+                ):
+                    lines.append(f"# TYPE {name} {typ}")
+                    lines.append(f"{name} {val}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path != "/health":
-                return self._json_reply(404, {"error": "GET /health only"})
+                return self._json_reply(
+                    404, {"error": "GET /health or /metrics"})
             self._json_reply(200, {
                 "status": "ok", "n_slots": server.n_slots,
-                "active": int(server.active.sum()), **stats_box,
+                "active": int(server.active.sum()),
+                **{k: v for k, v in stats_box.items() if k != "t0"},
             })
 
         def do_POST(self):
@@ -451,12 +479,25 @@ def _serve_http(args, server, to_stream_request, finish_audio,
     host = host or "127.0.0.1"
     inbox: "queue.Queue" = queue.Queue(maxsize=getattr(args, "http_queue", 0))
     stop = threading.Event()
-    stats_box = {"served": 0, "frames": 0}
+    stats_box = {"served": 0, "frames": 0, "t0": time.time()}
     Handler = _make_http_handler(server, inbox, stop, stats_box, sample_rate)
     httpd = ThreadingHTTPServer((host, int(port)), Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    # graceful drain on SIGTERM/SIGINT (the orchestrator's stop signal):
+    # finish in-flight requests, refuse nothing mid-decode, then exit —
+    # same path as POST /shutdown
+    import signal
+
+    def _drain(signum, frame):
+        print(f"signal {signum}: draining in-flight requests...", flush=True)
+        stop.set()
+
+    prev_handlers = {
+        s: signal.signal(s, _drain) for s in (signal.SIGTERM, signal.SIGINT)
+    }
     print(f"Serving on http://{host}:{port} (POST /generate, GET /health, "
-          f"POST /shutdown)", flush=True)
+          f"GET /metrics, POST /shutdown; SIGTERM drains)", flush=True)
 
     waiters = {}  # request_id -> (done_event, holder)
     pending = []
@@ -524,6 +565,8 @@ def _serve_http(args, server, to_stream_request, finish_audio,
                 done.set()
         waiters.clear()
         httpd.shutdown()
+        for s, h in prev_handlers.items():  # restore (tests call in-process)
+            signal.signal(s, h)
     # close the shutdown race: a /generate that slipped into the inbox
     # after the final emptiness check gets an error reply, not a hang
     while True:

@@ -520,6 +520,11 @@ def test_http_handler_overload_503():
 
     # the bound only gates /generate: health and errors still answer
     assert " 200 " in drive("GET", "/health").splitlines()[0]
+    metrics = drive("GET", "/metrics")
+    assert " 200 " in metrics.splitlines()[0]
+    assert "csm_serve_slots 2" in metrics
+    assert "csm_serve_queue_depth 1" in metrics  # the occupied entry
+    assert "# TYPE csm_serve_requests_total counter" in metrics
     assert " 404 " in drive("POST", "/nope").splitlines()[0]
     assert " 400 " in drive("POST", "/generate", b"not json").splitlines()[0]
 

@@ -281,3 +281,59 @@ print("mesh compaction parity OK")
 """
     )
     assert "mesh compaction parity OK" in out
+
+
+@pytest.mark.multichip
+def test_sharded_prefix_serving_matches_single_device():
+    """Shared-prefix admission on a (data=2, model=2) mesh: prefix-cached
+    requests produce the same tokens as the unsharded prefix server (and
+    therefore as inlined context — tests/test_prefix_cache.py)."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.mesh import make_mesh
+from csm_tpu.serving import BatchedServer, StreamRequest
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+rng = np.random.default_rng(5)
+Tc = 20
+ctx_t = np.zeros((Tc, K + 1), np.int32); ctx_m = np.zeros((Tc, K + 1), bool)
+ctx_t[:16, :K] = rng.integers(1, args.audio_vocab_size, (16, K))
+ctx_m[:16, :K] = True
+ctx_t[16:, -1] = rng.integers(1, args.text_vocab_size, Tc - 16)
+ctx_m[16:, -1] = True
+def reqs():
+    r2 = np.random.default_rng(7)
+    out = []
+    for rid in range(4):
+        T = 5 + rid
+        t = np.zeros((T, K + 1), np.int32); m = np.zeros((T, K + 1), bool)
+        t[:, -1] = r2.integers(1, args.text_vocab_size, T); m[:, -1] = True
+        out.append(StreamRequest(t, m, max_frames=4, request_id=rid,
+                                 prefix="voice"))
+    return out
+kw = dict(n_slots=2, max_seq_len=256, temperature=1.0, topk=1,
+          compute_dtype=jnp.float32, chunk_size=2)
+srv1 = BatchedServer(params, args, **kw)
+srv1.register_prefix("voice", ctx_t, ctx_m)
+r1, _ = srv1.run(reqs())
+
+mesh = make_mesh(jax.devices()[:4], model_parallel=2)  # data=2, model=2
+srv8 = BatchedServer(params, args, mesh=mesh, **kw)
+srv8.register_prefix("voice", ctx_t, ctx_m)
+r8, _ = srv8.run(reqs())
+
+by1 = {r.request_id: r.frames for r in r1}
+by8 = {r.request_id: r.frames for r in r8}
+assert set(by1) == set(by8) == set(range(4))
+for rid in by1:
+    np.testing.assert_array_equal(by1[rid], by8[rid])
+print("PREFIX-MESH-OK")
+"""
+    )
+    assert "PREFIX-MESH-OK" in out
