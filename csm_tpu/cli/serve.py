@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "n_slots active + this many queued get an immediate "
                         "503 instead of unbounded buffering (backpressure; "
                         "0 = unbounded).")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every serving program (all prompt "
+                        "buckets, decode, registered prefixes) BEFORE "
+                        "accepting traffic — daemons otherwise pay each "
+                        "program's first compile on its first live request "
+                        "(minutes on a cold persistent cache)")
     p.add_argument("--stream", action="store_true",
                    help="Stream per-request audio while decoding: each "
                         "request's frames are Mimi-decoded incrementally "
@@ -724,6 +730,10 @@ def main(argv=None) -> int:
             print(f"  prefix {name!r}: {pre.length} frames "
                   f"(bucket {pre.bucket}) cached in "
                   f"{time.time() - t0p:.2f}s")
+    if args.warmup:
+        print("Warming serving programs...", flush=True)
+        dt = server.warmup(verbose=True)
+        print(f"Warmup done in {dt:.1f}s", flush=True)
     os.makedirs(args.output_dir, exist_ok=True)
     from csm_tpu.data.audio import save_wav
 

@@ -609,6 +609,52 @@ class BatchedServer:
         self._prefix_prefills[(pb, sb)] = fn
         return fn
 
+    def warmup(self, verbose: bool = False) -> float:
+        """Compile the serving programs BEFORE traffic.
+
+        One dummy admission per prompt bucket (plus one per registered
+        prefix), a compacted decode step, and a past-half-capacity fill
+        for the full-batch decode program — then ``reset()`` (compiled
+        programs survive).  A daemon that skips this pays each program's
+        first compile on its first live request (minutes per program on
+        a cold persistent cache); ``csm-serve --warmup`` runs it between
+        model load and accepting traffic.  Returns wall seconds.
+        """
+        t0 = time.time()
+        K = self.args.audio_num_codebooks
+
+        def dummy(T, prefix=None, adapter=None):
+            tokens = np.zeros((T, K + 1), np.int32)
+            mask = np.zeros((T, K + 1), bool)
+            mask[:, K] = True
+            return StreamRequest(tokens, mask, max_frames=3, request_id=-1,
+                                 prefix=prefix, adapter=adapter)
+
+        fit = [b for b in PROMPT_BUCKETS if b + 3 <= self.max_seq_len]
+        for b in fit:
+            self.submit(dummy(b))  # prefill(b)
+            self.step()  # decode (compacted variant on a single device)
+            self.reset()
+            if verbose:
+                print(f"  warmup: bucket {b} ready "
+                      f"(+{time.time() - t0:.1f}s)", flush=True)
+        # full-batch decode: compaction turns off past half capacity
+        for _ in range(min(self.n_slots // 2 + 1, self.n_slots)):
+            self.submit(dummy(fit[0]))
+        self.step()
+        self.reset()
+        for name, pre in self._prefixes.items():
+            sb = [b for b in PROMPT_BUCKETS
+                  if pre.bucket + b + 3 <= self.max_seq_len]
+            if sb:
+                self.submit(dummy(sb[0], prefix=name, adapter=pre.adapter))
+                self.step()
+                self.reset()
+                if verbose:
+                    print(f"  warmup: prefix {name!r} ready "
+                          f"(+{time.time() - t0:.1f}s)", flush=True)
+        return time.time() - t0
+
     # ---- host-side orchestration ----
 
     def _next_key(self):

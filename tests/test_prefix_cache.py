@@ -189,3 +189,19 @@ def test_prefix_too_long_rejected(tiny):
     ctx_t, ctx_m = make_frames(args, 60, seed=41, audio_rows=50)
     with pytest.raises(ValueError, match="leaves no room"):
         server.register_prefix("big", ctx_t, ctx_m)
+
+
+def test_warmup_covers_prefix_programs(tiny):
+    """warmup() also compiles the (prefix, suffix) admission programs."""
+    args, params = tiny
+    ctx_t, ctx_m = make_frames(args, 20, seed=51, audio_rows=16)
+    server = BatchedServer(params, args, n_slots=1, max_seq_len=256,
+                           temperature=1.0, topk=1,
+                           compute_dtype=jnp.float32)
+    server.register_prefix("voice", ctx_t, ctx_m)
+    server.warmup()
+    assert (32, 64) in server._prefix_prefills  # ctx 20 -> bucket 32
+    txt_t, txt_m = make_frames(args, 6, seed=52)
+    results, _ = server.run([StreamRequest(
+        txt_t, txt_m, max_frames=3, request_id=0, prefix="voice")])
+    assert results and results[0].frames.shape[0] <= 3

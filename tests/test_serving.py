@@ -335,3 +335,21 @@ def test_server_int8_kv_matches_solo_int8_kv(tiny):
         want = np.asarray(res.frames)[0, :n]
         got = by_id[req.request_id].frames
         np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
+
+
+def test_warmup_compiles_then_serves(tiny):
+    """warmup() precompiles every serving program and leaves the server
+    clean; a real request afterwards is served correctly."""
+    args, params = tiny
+    server = BatchedServer(params, args, n_slots=2, max_seq_len=128,
+                           temperature=1.0, topk=1,
+                           compute_dtype=jnp.float32)
+    dt = server.warmup()
+    assert dt > 0 and not server.active.any()
+    # prefill programs for every fitting bucket exist
+    assert set(server._prefills) == {64}  # 128-bucket + 3 frames > 128
+    req = make_request(args, 6, rid=0, seed=1)
+    want = solo_frames(args, params, req)
+    results, _ = server.run([make_request(args, 6, rid=0, seed=1)])
+    got = results[0].frames
+    np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
