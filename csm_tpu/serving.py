@@ -273,9 +273,6 @@ class BatchedServer:
             raise ValueError(f"kv_dtype must be bf16|int8, got {kv_dtype!r}")
         self.kv_dtype = kv_dtype
         self._kv_dtype_jnp = jnp.int8 if kv_dtype == "int8" else None
-        if adapters and mesh is not None:
-            raise ValueError("multi-LoRA serving (adapters=) is "
-                             "single-device only in this version")
         if weight_dtype == "int4" and mesh is not None:
             raise ValueError("weight_dtype=int4 is single-device only (the "
                              "fused-dequant kernel is not sharded)")
@@ -347,9 +344,34 @@ class BatchedServer:
                         f"model shape")
                 loaded.append((lora, lcfg))
                 self._adapter_id[name] = i + 1  # 0 = base model
+            # the bank must use the SAME projection names as the param
+            # tree or the per-projection lookup in _layer_forward would
+            # silently skip every adapter: mesh servers (and
+            # CSM_TPU_NO_FUSE=1) keep separate wq/wk/wv, single-device
+            # servers run the fused wqkv/w13 layout
+            layout = ("fused" if "wqkv" in self.params["backbone"]
+                      else "separate")
             self._bank = jax.jit(
-                lambda: fuse_lora_bank(loaded, args, dtype=compute_dtype)
+                lambda: fuse_lora_bank(
+                    loaded, args, dtype=compute_dtype, layout=layout)
             )()
+            for comp in ("backbone", "decoder"):
+                sub = self._bank.get(comp)
+                extra = set(sub or ()) - set(self.params[comp])
+                assert not extra, (
+                    f"adapter bank names {sorted(extra)} missing from the "
+                    f"{comp} param layout — adapters would be silently "
+                    f"ignored")
+            if mesh is not None:
+                # the bank is tiny (rank-padded low-rank factors):
+                # REPLICATE it across the mesh — each device gathers its
+                # own slots' adapters locally, no collective needed
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                self._bank = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), self._bank
+                )
 
         self._decode = self._build_decode(self.n_slots)
         self._admit = self._build_admit()
@@ -855,6 +877,16 @@ class BatchedServer:
         self._compactors[c] = fns
         return fns
 
+    def _put_ids(self, ids: np.ndarray) -> jnp.ndarray:
+        """Per-slot adapter ids as a device array — sharded over ``data``
+        alongside the slots on a mesh."""
+        ids = jnp.asarray(np.asarray(ids, np.int32))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ids = jax.device_put(ids, NamedSharding(self.mesh, P("data")))
+        return ids
+
     def _decode_capacity(self, n_live: int) -> int:
         """Smallest power-of-two decode batch that fits the live slots —
         or ``n_slots`` (the uncompacted program) when compaction can't
@@ -897,7 +929,7 @@ class BatchedServer:
                                    self._adapter_ids[np.minimum(
                                        idx, self.n_slots - 1)], 0)
                 dkw = dict(bank=self._bank,
-                           adapter_ids=jnp.asarray(sub_ids, jnp.int32))
+                           adapter_ids=self._put_ids(sub_ids))
             frames, counts, sub_slots, sub_state = self._decode_small[c](
                 self.params, self._base_key, self._step_count,
                 sub_state, sub_slots, jnp.float32(self.temperature), **dkw,
@@ -914,7 +946,7 @@ class BatchedServer:
             dkw = {}
             if self._bank is not None:
                 dkw = dict(bank=self._bank,
-                           adapter_ids=jnp.asarray(self._adapter_ids))
+                           adapter_ids=self._put_ids(self._adapter_ids))
             frames, counts, self.slots, self.state = self._decode(
                 self.params, self._base_key, self._step_count,
                 self.state, self.slots, jnp.float32(self.temperature), **dkw,

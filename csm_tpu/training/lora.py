@@ -244,7 +244,19 @@ _FUSED_OUT = {
 }
 
 
-def fuse_lora_bank(adapters, args, dtype=jnp.bfloat16) -> dict:
+_SEPARATE_OUT = {
+    "wq": lambda c: c.num_heads * c.head_dim,
+    "wk": lambda c: c.num_kv_heads * c.head_dim,
+    "wv": lambda c: c.num_kv_heads * c.head_dim,
+    "w1": lambda c: c.intermediate_dim,
+    "w3": lambda c: c.intermediate_dim,
+    "wo": lambda c: c.embed_dim,
+    "w2": lambda c: c.embed_dim,
+}
+
+
+def fuse_lora_bank(adapters, args, dtype=jnp.bfloat16,
+                   layout: str = "fused") -> dict:
     """Stack adapters into a serving BANK over the FUSED param layout.
 
     ``adapters`` — list of ``(lora_tree, LoRAConfig)`` as returned by
@@ -262,21 +274,35 @@ def fuse_lora_bank(adapters, args, dtype=jnp.bfloat16) -> dict:
     out-column offsets — the low-rank forms add, so the fused adapter is
     exactly the sum of the separate ones.  The layer axis leads for
     ``lax.scan`` slicing (csm_tpu/models/llama.transformer_apply).
+
+    ``layout="separate"`` builds the bank over the SEPARATE projection
+    names (wq/wk/wv, w1/w3) instead — the layout mesh servers keep
+    (tensor parallelism shards q/k/v head groups independently, so
+    ``fuse_csm_params`` is single-device-only).  The bank names MUST
+    match the param-tree names or the per-projection lookup in
+    ``_layer_forward`` silently skips the adapter.
     """
+    if layout == "separate":
+        target = {n: (n, lambda c: 0) for n in _FUSE_TARGET}
+        fused_out = _SEPARATE_OUT
+    elif layout == "fused":
+        target, fused_out = _FUSE_TARGET, _FUSED_OUT
+    else:
+        raise ValueError(f"layout must be fused|separate, got {layout!r}")
     comps = {"backbone": args.backbone, "decoder": args.decoder}
     # which fused names does any adapter touch, per component
     touched = {c: set() for c in comps}
     for lora, _cfg in adapters:
         for comp in comps:
             for name in (lora.get(comp) or {}):
-                touched[comp].add(_FUSE_TARGET[name][0])
+                touched[comp].add(target[name][0])
 
     # total rank per (comp, fused name) per adapter; R = max (+1 floor)
     def total_rank(lora, comp, fused):
         return sum(
             ad["a"].shape[-1]
             for name, ad in (lora.get(comp) or {}).items()
-            if _FUSE_TARGET[name][0] == fused
+            if target[name][0] == fused
         )
 
     bank = {}
@@ -286,7 +312,7 @@ def fuse_lora_bank(adapters, args, dtype=jnp.bfloat16) -> dict:
             R = max(
                 [total_rank(lora, comp, fused) for lora, _ in adapters] + [1]
             )
-            out_dim = _FUSED_OUT[fused](cfg)
+            out_dim = fused_out[fused](cfg)
             in_dim = (
                 cfg.num_heads * cfg.head_dim if fused == "wo"
                 else cfg.intermediate_dim if fused == "w2"
@@ -298,7 +324,7 @@ def fuse_lora_bank(adapters, args, dtype=jnp.bfloat16) -> dict:
             for lora, lcfg in adapters:
                 a_parts, b_parts = [], []
                 for name, ad in sorted((lora.get(comp) or {}).items()):
-                    tgt, off_fn = _FUSE_TARGET[name]
+                    tgt, off_fn = target[name]
                     if tgt != fused:
                         continue
                     r = ad["a"].shape[-1]

@@ -115,11 +115,28 @@ def test_unknown_adapter_rejected(setup):
         srv.submit(make_request(args, 6, 0, seed=1, adapter="nobody"))
 
 
-def test_adapters_reject_mesh(setup):
+def test_separate_layout_bank_matches_fused(setup):
+    """The separate-projection bank (mesh layout) encodes the same math
+    as the fused bank: a server forced onto separate params with a
+    separate-layout bank matches the fused-layout server exactly.
+    (Mesh parity itself: tests/test_multichip.py
+    test_sharded_multi_lora_matches_single_device.)"""
+    import os
+
     args, params, named = setup
-    mesh = jax.sharding.Mesh(
-        np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model")
-    )
-    with pytest.raises(ValueError, match="single-device"):
-        BatchedServer(params, args, n_slots=1, mesh=mesh,
-                      adapters=adapters_arg(named), max_seq_len=96)
+    name = named[0][0]
+    fused_srv = BatchedServer(params, args, n_slots=1,
+                              adapters=adapters_arg(named), **KW)
+    r_fused, _ = fused_srv.run([make_request(args, 6, 0, seed=1,
+                                             adapter=name)])
+    os.environ["CSM_TPU_NO_FUSE"] = "1"
+    try:
+        sep_srv = BatchedServer(params, args, n_slots=1,
+                                adapters=adapters_arg(named), **KW)
+        assert "wq" in sep_srv._bank["backbone"] or \
+               "wqkv" not in (sep_srv._bank["backbone"] or {})
+        r_sep, _ = sep_srv.run([make_request(args, 6, 0, seed=1,
+                                             adapter=name)])
+    finally:
+        del os.environ["CSM_TPU_NO_FUSE"]
+    np.testing.assert_array_equal(r_fused[0].frames, r_sep[0].frames)

@@ -285,7 +285,7 @@ print("mesh compaction parity OK")
 
 @pytest.mark.multichip
 def test_sharded_prefix_serving_matches_single_device():
-    """Shared-prefix admission on a (data=2, model=2) mesh: prefix-cached
+    """Shared-prefix admission on a data=2 mesh: prefix-cached
     requests produce the same tokens as the unsharded prefix server (and
     therefore as inlined context — tests/test_prefix_cache.py)."""
     out = _run_cpu8(
@@ -323,7 +323,7 @@ srv1 = BatchedServer(params, args, **kw)
 srv1.register_prefix("voice", ctx_t, ctx_m)
 r1, _ = srv1.run(reqs())
 
-mesh = make_mesh(jax.devices()[:4], model_parallel=2)  # data=2, model=2
+mesh = make_mesh(jax.devices()[:2], model_parallel=1)  # data=2
 srv8 = BatchedServer(params, args, mesh=mesh, **kw)
 srv8.register_prefix("voice", ctx_t, ctx_m)
 r8, _ = srv8.run(reqs())
@@ -337,3 +337,63 @@ print("PREFIX-MESH-OK")
 """
     )
     assert "PREFIX-MESH-OK" in out
+
+
+@pytest.mark.multichip
+def test_sharded_multi_lora_matches_single_device():
+    """Multi-LoRA bank on a data=4 mesh: the bank replicates, per-slot
+    ids shard over data, and mixed-adapter frames match the
+    single-device bank server exactly (data-only sharding leaves each
+    row's math unchanged; TP reassociates reductions — see
+    test_sharded_decode_matches_single_device)."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.mesh import make_mesh
+from csm_tpu.serving import BatchedServer, StreamRequest
+from csm_tpu.training.lora import LoRAConfig, init_lora_params
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+cfg1 = LoRAConfig(r=4)
+cfg2 = LoRAConfig(r=2, alpha=8.0,
+                  target_modules=("q_proj", "k_proj", "v_proj"))
+l1 = jax.tree.map(lambda x: x + 0.02,
+                  init_lora_params(jax.random.key(1), args, cfg1))
+l2 = jax.tree.map(lambda x: x + 0.03,
+                  init_lora_params(jax.random.key(2), args, cfg2))
+adapters = {"alice": (l1, cfg1, None), "bob": (l2, cfg2, None)}
+
+def reqs():
+    rng = np.random.default_rng(9)
+    out = []
+    for rid, ad in enumerate([None, "alice", "bob", "alice"]):
+        T = 5 + rid
+        t = np.zeros((T, K + 1), np.int32); m = np.zeros((T, K + 1), bool)
+        t[:, -1] = rng.integers(1, args.text_vocab_size, T); m[:, -1] = True
+        out.append(StreamRequest(t, m, max_frames=4, request_id=rid,
+                                 adapter=ad))
+    return out
+
+kw = dict(n_slots=4, max_seq_len=96, temperature=1.0, topk=1,
+          compute_dtype=jnp.float32, chunk_size=2)
+srv1 = BatchedServer(params, args, adapters=dict(adapters), **kw)
+r1, _ = srv1.run(reqs())
+
+mesh = make_mesh(jax.devices()[:4], model_parallel=1)  # data=4
+srv8 = BatchedServer(params, args, adapters=dict(adapters), mesh=mesh, **kw)
+r8, _ = srv8.run(reqs())
+
+by1 = {r.request_id: r.frames for r in r1}
+by8 = {r.request_id: r.frames for r in r8}
+assert set(by1) == set(by8) == set(range(4))
+for rid in by1:
+    np.testing.assert_array_equal(by1[rid], by8[rid])
+print("MULTI-LORA-MESH-OK")
+"""
+    )
+    assert "MULTI-LORA-MESH-OK" in out
