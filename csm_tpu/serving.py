@@ -23,7 +23,10 @@ Design (TPU-first):
     ``SlotState`` carried across chunks — a ``lax.while_loop`` emits up
     to ``chunk_size`` frames and exits early the moment no slot is live.
     Per chunk the host does ONE dispatch and ONE gather of
-    (frames, counts, live); per admission, one prefill + one slot write.
+    (frames, counts, live); per admission, one prefill + one slot write
+    and ZERO host fetches — the prefill frame stays on device (the
+    control plane already decided EOS/liveness there) and rides the next
+    chunk's gather.
     Cache and slot buffers are donated, so steady-state serving holds a
     single copy of the KV cache in HBM;
   * optional ``mesh``: slots shard over the ``data`` axis and weights/KV
@@ -425,6 +428,11 @@ class BatchedServer:
         self.slot_request: List[Optional[StreamRequest]] = [None] * self.n_slots
         self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(self.n_slots)]
         self.slot_streamed = np.zeros(self.n_slots, np.int64)  # frames sent to on_frames
+        # prefill frames not yet fetched: admission leaves frame0 ON
+        # DEVICE (the control plane already handled EOS there) and the
+        # next step() bundles it into the chunk gather — submit() costs
+        # zero host round-trips, one fewer on the first-audio path
+        self._pending_f0: Dict[int, jnp.ndarray] = {}
         self.active = np.zeros(self.n_slots, bool)
         self._adapter_ids = np.zeros(self.n_slots, np.int32)
         self._step_count = 0
@@ -765,15 +773,13 @@ class BatchedServer:
         self.slot_frames[slot] = []
         self.slot_streamed[slot] = 0
         self.active[slot] = True
-        f0 = np.asarray(frame0)
-        if np.all(f0 == 0) or req.max_frames < 1:  # immediate EOS / no budget
+        if req.max_frames < 1:  # no budget: finish empty, free the slot
             self._finished_at_submit.append(self._finish(slot))
         else:
-            self.slot_frames[slot].append(f0)
-            if req.max_frames == 1:
-                self._finished_at_submit.append(self._finish(slot))
-            else:
-                self._notify(slot, done=False)  # stream the prefill frame
+            # frame0 stays on device; the admit program above already set
+            # live = ~EOS & (budget > 1), so decode correctness never
+            # needed the host value — step() fetches it with the chunk
+            self._pending_f0[slot] = frame0
         return slot
 
     def _compact_fns(self, c: int):
@@ -913,6 +919,8 @@ class BatchedServer:
         if not self.active.any():
             return done
         self._step_count += 1
+        pend = self._pending_f0  # prefill frames still on device
+        self._pending_f0 = {}
         live_idx = np.nonzero(self.active)[0]
         c = self._decode_capacity(len(live_idx))
         if c < self.n_slots:
@@ -935,8 +943,8 @@ class BatchedServer:
                 sub_state, sub_slots, jnp.float32(self.temperature), **dkw,
             )
             # fetch BEFORE scatter: it donates the sub buffers
-            f_host, counts_h, live_h = jax.device_get(
-                (frames, counts, sub_slots.live)
+            f_host, counts_h, live_h, f0_vals = jax.device_get(
+                (frames, counts, sub_slots.live, list(pend.values()))
             )
             self.state, self.slots = scatter(
                 self.state, self.slots, sub_state, sub_slots, idx_dev
@@ -952,10 +960,16 @@ class BatchedServer:
                 self.state, self.slots, jnp.float32(self.temperature), **dkw,
             )
             # ONE host gather for the whole chunk
-            f_host, counts_h, live_h = jax.device_get(
-                (frames, counts, self.slots.live)
+            f_host, counts_h, live_h, f0_vals = jax.device_get(
+                (frames, counts, self.slots.live, list(pend.values()))
             )
             row_of = {int(s): int(s) for s in live_idx}
+        # deferred prefill frames land FIRST in their slot's stream; an
+        # all-zero frame0 was the EOS marker and is never emitted
+        for s, f0 in zip(pend, f0_vals):
+            f0 = np.asarray(f0, np.int32)
+            if f0.any():
+                self.slot_frames[int(s)].append(f0)
         for slot in live_idx:
             s = int(slot)
             r = row_of[s]
