@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--chunk-size", type=int, default=8,
                    help="Decode frames per host round-trip")
+    p.add_argument("--ramp-chunk", type=int, default=None,
+                   help="Short decode chunk (< chunk-size) for the step "
+                        "right after an admission: first audio streams "
+                        "after this many frames instead of a full chunk "
+                        "(cuts time-to-first-audio for --stream/--http "
+                        "clients at one extra round-trip per admission)")
     p.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
                    help="KV-cache storage: int8 quantizes K/V at write "
                         "(half the decode cache HBM stream, 2x slot "
@@ -703,7 +709,8 @@ def main(argv=None) -> int:
         generator.params, generator.args, n_slots=args.n_slots,
         max_seq_len=args.max_seq_len, temperature=args.temperature,
         topk=args.topk, compute_dtype=generator.compute_dtype,
-        chunk_size=args.chunk_size, weight_dtype=args.weight_dtype,
+        chunk_size=args.chunk_size, ramp_chunk=args.ramp_chunk,
+        weight_dtype=args.weight_dtype,
         kv_dtype=args.kv_dtype, adapters=adapters,
     )
     if args.prefix:

@@ -231,6 +231,7 @@ class BatchedServer:
         topk: int = 50,
         compute_dtype=jnp.bfloat16,
         chunk_size: int = 8,
+        ramp_chunk: Optional[int] = None,
         mesh=None,
         weight_dtype: str = "bf16",
         kv_dtype: str = "bf16",
@@ -241,6 +242,15 @@ class BatchedServer:
         runs as one ``lax.while_loop`` inside one jit and EXITS EARLY when
         every slot is dead, so large chunks no longer overshoot EOS or
         budgets; 8 ≈ 0.64 s of audio).
+
+        ``ramp_chunk`` — optional short chunk (< chunk_size) used for the
+        one step right after an admission: the first gather (carrying the
+        deferred prefill frame + the first decoded frames) lands after
+        ``ramp_chunk`` frames instead of ``chunk_size``, cutting streaming
+        time-to-first-audio by ~(chunk_size − ramp_chunk) frame times at
+        the cost of one extra host round-trip per admission.  Chunking
+        feeds the sampling key schedule, so tokens differ from an
+        un-ramped server at temperature > 0 (equal at topk=1).
 
         ``temperature`` is a runtime argument of the compiled programs
         (mutate ``self.temperature`` freely); ``topk`` is compile-static.
@@ -316,6 +326,11 @@ class BatchedServer:
         self.topk = topk
         self.compute_dtype = compute_dtype
         self.chunk_size = chunk_size
+        if ramp_chunk is not None and not (1 <= ramp_chunk < chunk_size):
+            raise ValueError(
+                f"ramp_chunk must be in [1, chunk_size) = [1, {chunk_size}), "
+                f"got {ramp_chunk}")
+        self.ramp_chunk = ramp_chunk
 
         if mesh is not None:
             from csm_tpu.parallel.inference import shard_inference_params
@@ -376,7 +391,9 @@ class BatchedServer:
                     lambda x: jax.device_put(x, rep), self._bank
                 )
 
-        self._decode = self._build_decode(self.n_slots)
+        # decode-chunk programs, keyed (batch, chunk): full batch / the
+        # compacted power-of-two variants / the post-admission ramp chunk
+        self._decodes: Dict[tuple, Callable] = {}
         self._admit = self._build_admit()
         self._prefills: Dict[int, Callable] = {}
         # shared-prefix serving: registered context KV blocks + compiled
@@ -384,9 +401,8 @@ class BatchedServer:
         self._prefixes: Dict[str, CachedPrefix] = {}
         self._register_fns: Dict[int, Callable] = {}
         self._prefix_prefills: Dict[tuple, Callable] = {}
-        # live-slot compaction (single-device): decode variants + cache
-        # gather/scatter programs per power-of-two capacity, built lazily
-        self._decode_small: Dict[int, Callable] = {}
+        # live-slot compaction (single-device): cache gather/scatter
+        # programs per power-of-two capacity, built lazily
         self._compactors: Dict[int, tuple] = {}
         self.reset()
 
@@ -444,13 +460,17 @@ class BatchedServer:
 
     # ---- compiled programs ----
 
-    def _build_decode(self, B: int):
-        return jax.jit(
-            build_decode_fn(
-                self.args, B, self.chunk_size, self.topk, self.compute_dtype
-            ),
-            donate_argnums=(3, 4),
-        )
+    def _decode_fn(self, B: int, chunk: Optional[int] = None):
+        key = (B, chunk or self.chunk_size)
+        fn = self._decodes.get(key)
+        if fn is None:
+            fn = self._decodes[key] = jax.jit(
+                build_decode_fn(
+                    self.args, B, key[1], self.topk, self.compute_dtype
+                ),
+                donate_argnums=(3, 4),
+            )
+        return fn
 
     def _build_admit(self):
         def admit(slots: SlotState, slot, frame0, pos0, budget):
@@ -657,13 +677,19 @@ class BatchedServer:
             tokens = np.zeros((T, K + 1), np.int32)
             mask = np.zeros((T, K + 1), bool)
             mask[:, K] = True
-            return StreamRequest(tokens, mask, max_frames=3, request_id=-1,
+            # with a ramp the budget must survive the ramp step so the
+            # second warmup step reaches the steady-state chunk program
+            return StreamRequest(tokens, mask,
+                                 max_frames=3 + (self.ramp_chunk or 0),
+                                 request_id=-1,
                                  prefix=prefix, adapter=adapter)
 
         fit = [b for b in PROMPT_BUCKETS if b + 3 <= self.max_seq_len]
         for b in fit:
             self.submit(dummy(b))  # prefill(b)
             self.step()  # decode (compacted variant on a single device)
+            if self.ramp_chunk:  # first step used the ramp program;
+                self.step()  # compile the steady-state chunk too
             self.reset()
             if verbose:
                 print(f"  warmup: bucket {b} ready "
@@ -672,6 +698,8 @@ class BatchedServer:
         for _ in range(min(self.n_slots // 2 + 1, self.n_slots)):
             self.submit(dummy(fit[0]))
         self.step()
+        if self.ramp_chunk:
+            self.step()
         self.reset()
         for name, pre in self._prefixes.items():
             sb = [b for b in PROMPT_BUCKETS
@@ -923,13 +951,14 @@ class BatchedServer:
         self._pending_f0 = {}
         live_idx = np.nonzero(self.active)[0]
         c = self._decode_capacity(len(live_idx))
+        # post-admission ramp: gather the first frames after ramp_chunk
+        # steps instead of a full chunk (streaming time-to-first-audio)
+        chunk = self.ramp_chunk if (pend and self.ramp_chunk) else None
         if c < self.n_slots:
             idx = np.full((c,), self.n_slots, np.int32)
             idx[: len(live_idx)] = live_idx
             idx_dev = jnp.asarray(idx)
             gather, scatter = self._compact_fns(c)
-            if c not in self._decode_small:
-                self._decode_small[c] = self._build_decode(c)
             sub_state, sub_slots = gather(self.state, self.slots, idx_dev)
             dkw = {}
             if self._bank is not None:
@@ -938,7 +967,7 @@ class BatchedServer:
                                        idx, self.n_slots - 1)], 0)
                 dkw = dict(bank=self._bank,
                            adapter_ids=self._put_ids(sub_ids))
-            frames, counts, sub_slots, sub_state = self._decode_small[c](
+            frames, counts, sub_slots, sub_state = self._decode_fn(c, chunk)(
                 self.params, self._base_key, self._step_count,
                 sub_state, sub_slots, jnp.float32(self.temperature), **dkw,
             )
@@ -955,7 +984,9 @@ class BatchedServer:
             if self._bank is not None:
                 dkw = dict(bank=self._bank,
                            adapter_ids=self._put_ids(self._adapter_ids))
-            frames, counts, self.slots, self.state = self._decode(
+            frames, counts, self.slots, self.state = self._decode_fn(
+                self.n_slots, chunk
+            )(
                 self.params, self._base_key, self._step_count,
                 self.state, self.slots, jnp.float32(self.temperature), **dkw,
             )

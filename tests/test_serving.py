@@ -353,3 +353,41 @@ def test_warmup_compiles_then_serves(tiny):
     results, _ = server.run([make_request(args, 6, rid=0, seed=1)])
     got = results[0].frames
     np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
+
+
+def test_ramp_chunk_parity_and_first_gather(tiny):
+    """ramp_chunk: argmax tokens identical to an un-ramped server; the
+    step right after an admission gathers after <= ramp_chunk decoded
+    frames (+ the deferred prefill frame), the next step runs the full
+    chunk; warmup() compiles both program families."""
+    args, params = tiny
+    kw = dict(n_slots=2, max_seq_len=128, temperature=1.0, topk=1,
+              compute_dtype=jnp.float32, chunk_size=6)
+    base = BatchedServer(params, args, **kw)
+    ramp = BatchedServer(params, args, ramp_chunk=2, **kw)
+    mk = lambda: [make_request(args, 6, rid=i, seed=i + 1, max_frames=9)
+                  for i in range(2)]
+    rb, _ = base.run(mk())
+    rr, _ = ramp.run(mk())
+    for a, b in zip(sorted(rb, key=lambda r: r.request_id),
+                    sorted(rr, key=lambda r: r.request_id)):
+        np.testing.assert_array_equal(a.frames, b.frames)
+
+    ramp.reset()
+    ramp.submit(make_request(args, 6, rid=9, seed=3, max_frames=12))
+    slot_frames_before = len(ramp.slot_frames[0])
+    assert slot_frames_before == 0  # frame0 deferred on device
+    ramp.step()
+    n1 = len(ramp.slot_frames[0])
+    assert 1 <= n1 <= 3  # f0 + at most ramp_chunk decoded frames
+    ramp.step()
+    assert len(ramp.slot_frames[0]) > n1  # steady-state chunk resumed
+    ramp.reset()
+
+    dt = ramp.warmup()
+    assert dt > 0 and not ramp.active.any()
+    chunks = {c for (_, c) in ramp._decodes}
+    assert chunks == {2, 6}  # both ramp and steady-state programs built
+
+    with pytest.raises(ValueError):
+        BatchedServer(params, args, ramp_chunk=6, **kw)
