@@ -444,12 +444,13 @@ class CSMTrainer:
 
     def generate_sample(
         self, text: str, speaker_id: int = 0, output_path: Optional[str] = None,
-        mimi=None, max_audio_length_ms: float = 5_000,
+        mimi=None, max_audio_length_ms: float = 5_000, text_tokenizer=None,
     ):
         from csm_tpu.generator import Generator
 
         gen = Generator(
             self._final_params(), self.args, mimi=mimi,
+            text_tokenizer=text_tokenizer,
             compute_dtype=self.compute_dtype,
         )
         audio = gen.generate(

@@ -103,7 +103,7 @@ def main(argv=None) -> int:
     trainer.save_model(f"{args.output_dir}/adapter", save_mode="both")
     trainer.generate_sample(
         "This voice was fine-tuned on Common Voice.", 0,
-        f"{args.output_dir}/sample.wav", mimi=mimi,
+        f"{args.output_dir}/sample.wav", mimi=mimi, text_tokenizer=text_tok,
     )
     return 0
 

@@ -45,7 +45,8 @@ def main(audio_dir: str, out_dir: str = "./lora_basic", tiny_test: bool = False)
 
     trainer.save_model(f"{out_dir}/adapter", save_mode="lora")
     trainer.generate_sample(
-        "Hello from my fine-tuned voice.", 0, f"{out_dir}/sample.wav", mimi=audio_tok
+        "Hello from my fine-tuned voice.", 0, f"{out_dir}/sample.wav",
+        mimi=audio_tok, text_tokenizer=text_tok,
     )
 
 

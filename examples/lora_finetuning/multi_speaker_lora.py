@@ -15,11 +15,27 @@ from csm_tpu.training.lora import merge_lora
 from csm_tpu.training.multi_speaker import MultiSpeakerLoRATrainer
 
 
-def main(config_path: str, out_dir: str = "./multi_speaker"):
+def main(config_path: str, out_dir: str = "./multi_speaker",
+         tiny_test: bool = False):
     from types import SimpleNamespace
 
     speakers = json.load(open(config_path))
     ids = [s["speaker_id"] for s in speakers]
+
+    base_kw = {}
+    if tiny_test:
+        import jax
+        import jax.numpy as jnp
+
+        from csm_tpu.models.config import tiny_test_args
+        from csm_tpu.models.csm import init_csm_params
+
+        margs = tiny_test_args()
+        base_kw = dict(
+            args=margs,
+            params=init_csm_params(jax.random.key(0), margs, jnp.float32),
+            compute_dtype=jnp.float32, remat=False,
+        )
 
     ms = MultiSpeakerLoRATrainer(
         speaker_ids=ids,
@@ -27,6 +43,7 @@ def main(config_path: str, out_dir: str = "./multi_speaker"):
         use_shared_adapter=True,
         lora_r=8,
         lora_alpha=16.0,
+        **base_kw,
     )
 
     datasets = {}
@@ -35,7 +52,7 @@ def main(config_path: str, out_dir: str = "./multi_speaker"):
             audio_dir=s["audio_dir"], transcript_dir=s.get("transcript_dir"),
             alignment_dir=s.get("alignment_dir"), speaker_id=s["speaker_id"],
             val_split=0.0, context_turns=2, max_seq_len=2048,
-            mimi_path=None, seed=0, tiny_test=False,
+            mimi_path=None, seed=0, tiny_test=tiny_test,
         )
         trainer = ms.trainers[s["speaker_id"]]
         text_tok, audio_tok = build_tokenizers(args, trainer.args)
