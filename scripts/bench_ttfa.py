@@ -39,7 +39,8 @@ SLOTS = arg("--slots", 8)
 CHUNK = arg("--chunk", 8)
 RAMP = arg("--ramp", 2)
 TXT = 48
-BG_FRAMES = 2000  # background streams effectively never finish
+BG_FRAMES = 1900  # background streams effectively never finish
+                  # (prompt bucket 64 + 1900 < max_seq_len 2048)
 N_PROBE = 8
 
 args = csm_1b_args()
