@@ -284,7 +284,8 @@ class _StdinPoller:
         return lines, self.eof
 
 
-def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
+def _serve_follow(args, server, to_stream_request, attach_sink, emit_result,
+                  drop_sink=lambda rid: None):
     """Daemon loop: poll stdin for new JSONL requests, admit them at frame
     boundaries (continuous batching), emit each result the moment it
     finishes; exit at EOF once pending + active drain."""
@@ -307,6 +308,43 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
                 except ValueError as e:
                     print(f"  bad request line skipped: {e}", file=sys.stderr)
                     continue
+                if isinstance(r, dict) and (
+                        "load_adapter" in r or "unload_adapter" in r):
+                    # hot adapter reload: {"load_adapter": {"name","path"}}
+                    # / {"unload_adapter": NAME}
+                    try:
+                        if "load_adapter" in r:
+                            spec = r["load_adapter"]
+                            aid = server.add_adapter(spec["name"],
+                                                     spec["path"])
+                            print(f"  adapter {spec['name']!r} loaded "
+                                  f"(id {aid})", file=sys.stderr)
+                        else:
+                            server.remove_adapter(r["unload_adapter"])
+                            print(f"  adapter {r['unload_adapter']!r} "
+                                  f"unloaded", file=sys.stderr)
+                    except Exception as e:  # daemon survives bad specs
+                        print(f"  adapter op failed: {e!r}", file=sys.stderr)
+                    continue
+                if isinstance(r, dict) and "cancel" in r:
+                    # {"cancel": ID}: abort an in-flight request — the
+                    # slot frees on device at the next chunk boundary
+                    cid = r["cancel"]
+                    n_before = len(pending)
+                    pending = [p for p in pending if p.request_id != cid]
+                    res = server.cancel(cid)
+                    if res is not None or len(pending) != n_before:
+                        in_flight.discard(cid)
+                        if res is not None:
+                            emit_result(res)  # partial wav + sink cleanup
+                        print(f"  cancelled {cid!r}"
+                              + (f" after {res.n_steps} frames" if res else
+                                 " (not yet admitted)"),
+                              file=sys.stderr)
+                    else:
+                        print(f"  cancel {cid!r}: not in flight",
+                              file=sys.stderr)
+                    continue
                 try:
                     sr = to_stream_request(n_seen, r)
                 except Exception as e:
@@ -328,7 +366,24 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
                 if args.stream:
                     attach_sink(sr, time.time())  # latency from ARRIVAL
                 pending.append(sr)
-        while pending and server.submit(pending[0]) is not None:
+        while pending:
+            try:
+                if server.submit(pending[0]) is None:
+                    break  # no free slot; retry next tick
+            except ValueError as e:
+                # e.g. its adapter was unloaded while it sat pending —
+                # fail THIS request, not the daemon
+                sr = pending.pop(0)
+                print(f"  request {sr.request_id!r} dropped at submit: {e}",
+                      file=sys.stderr)
+                in_flight.discard(sr.request_id)
+                if sr.on_frames is not None:  # close + release its sink
+                    import numpy as np
+
+                    sr.on_frames(sr.request_id,
+                                 np.zeros((0, 0), np.int32), True)
+                    drop_sink(sr.request_id)
+                continue
             pending.pop(0)
         done = server.step()
         for res in done:
@@ -350,7 +405,8 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result):
     return n_served, stats, wall
 
 
-def _make_http_handler(server, inbox, stop, stats_box, sample_rate):
+def _make_http_handler(server, inbox, stop, stats_box, sample_rate,
+                       cancel_q):
     """Build the request-handler class for ``_serve_http``.
 
     Module-level factory (not a closure inside ``_serve_http``) so the
@@ -391,6 +447,8 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate):
                      stats_box.get("served", 0)),
                     ("csm_serve_frames_total", "counter",
                      stats_box.get("frames", 0)),
+                    ("csm_serve_cancelled_total", "counter",
+                     stats_box.get("cancelled", 0)),
                     ("csm_serve_uptime_seconds", "gauge",
                      time.time() - stats_box.get("t0", time.time())),
                 ):
@@ -417,8 +475,28 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate):
             if self.path == "/shutdown":
                 stop.set()
                 return self._json_reply(200, {"status": "shutting down"})
+            if self.path == "/adapters":
+                # hot adapter (un)load: {"name","path"} loads, {"name",
+                # "unload":true} unloads.  Executed on the DRIVE thread
+                # (it owns the server) via the same inbox as /generate.
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = _json.loads(self.rfile.read(n))
+                    assert isinstance(req, dict) and "name" in req
+                except Exception:
+                    return self._json_reply(
+                        400, {"error": 'body must be {"name", "path"} or '
+                                       '{"name", "unload": true}'})
+                done = threading.Event()
+                holder: dict = {}
+                inbox.put((("adapter", req), done, holder))
+                done.wait()
+                code = 200 if "error" not in holder else 400
+                return self._json_reply(
+                    code, holder.get("json", holder))
             if self.path != "/generate":
-                return self._json_reply(404, {"error": "POST /generate"})
+                return self._json_reply(
+                    404, {"error": "POST /generate or /adapters"})
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if not 0 <= n <= self.max_body:
@@ -453,8 +531,12 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate):
                         break
                     # device→PCM conversion happens HERE, off the serving
                     # thread — codec decode overlaps the next token chunk
-                    self.wfile.write(_HttpStreamSink.to_pcm(item))
-                    self.wfile.flush()
+                    try:
+                        self.wfile.write(_HttpStreamSink.to_pcm(item))
+                        self.wfile.flush()
+                    except OSError:  # client hung up mid-stream: free the
+                        cancel_q.put(holder.get("request_id"))  # slot now
+                        return
                 self.close_connection = True
                 return
             wav = holder["wav"]
@@ -490,9 +572,11 @@ def _serve_http(args, server, to_stream_request, finish_audio,
     host, _, port = args.http.rpartition(":")
     host = host or "127.0.0.1"
     inbox: "queue.Queue" = queue.Queue(maxsize=getattr(args, "http_queue", 0))
+    cancel_q: "queue.Queue" = queue.Queue()  # rids of hung-up stream clients
     stop = threading.Event()
-    stats_box = {"served": 0, "frames": 0, "t0": time.time()}
-    Handler = _make_http_handler(server, inbox, stop, stats_box, sample_rate)
+    stats_box = {"served": 0, "frames": 0, "cancelled": 0, "t0": time.time()}
+    Handler = _make_http_handler(server, inbox, stop, stats_box, sample_rate,
+                                 cancel_q)
     httpd = ThreadingHTTPServer((host, int(port)), Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
 
@@ -519,6 +603,21 @@ def _serve_http(args, server, to_stream_request, finish_audio,
     n_served = 0
     def admit(req, done, holder):
         nonlocal n_seen
+        if isinstance(req, tuple) and req[0] == "adapter":
+            spec = req[1]
+            try:
+                if spec.get("unload"):
+                    server.remove_adapter(spec["name"])
+                    holder["json"] = {"status": "unloaded",
+                                      "name": spec["name"]}
+                else:
+                    aid = server.add_adapter(spec["name"], spec["path"])
+                    holder["json"] = {"status": "loaded",
+                                      "name": spec["name"], "id": aid}
+            except Exception as e:
+                holder["error"] = repr(e)
+            done.set()
+            return
         try:
             sr = to_stream_request(n_seen, req)
             if sr is None:  # validation-rejected (e.g. prompt too long)
@@ -530,6 +629,7 @@ def _serve_http(args, server, to_stream_request, finish_audio,
             sr = None
         if sr is not None:
             sr.request_id = n_seen  # unique key even if ids collide
+            holder["request_id"] = n_seen  # handlers cancel by this key
             if make_stream_sink is not None:
                 sink = make_stream_sink()
                 sr.on_frames = sink
@@ -553,7 +653,35 @@ def _serve_http(args, server, to_stream_request, finish_audio,
                     admit(*inbox.get_nowait())
             except queue.Empty:
                 pass
-            while pending and server.submit(pending[0]) is not None:
+            # hung-up stream clients: kill the slot on device (no decode
+            # work wasted on an audience of zero) / drop from pending
+            while True:
+                try:
+                    rid = cancel_q.get_nowait()
+                except queue.Empty:
+                    break
+                if rid is None or rid not in waiters:
+                    continue
+                pending[:] = [p for p in pending if p.request_id != rid]
+                server.cancel(rid)  # no-op if it was still pending
+                waiters.pop(rid, None)
+                stats_box["cancelled"] += 1
+            while pending:
+                try:
+                    if server.submit(pending[0]) is None:
+                        break  # no free slot; retry next tick
+                except ValueError as e:
+                    # e.g. its adapter was unloaded while it sat pending —
+                    # fail THIS request, not the daemon
+                    sr = pending.pop(0)
+                    dw = waiters.pop(sr.request_id, None)
+                    if dw is not None:
+                        done, holder = dw
+                        if "pcm_queue" in holder:  # stream already replied
+                            holder["pcm_queue"].put(None)
+                        holder.setdefault("error", str(e))
+                        done.set()
+                    continue
                 pending.pop(0)
             for res in server.step():
                 done, holder = waiters.pop(res.request_id)
@@ -665,6 +793,14 @@ def main(argv=None) -> int:
                       f"{sorted(server._prefixes)})", file=sys.stderr)
                 return None
             pb = pre.bucket
+        adapter = r.get("adapter")
+        if adapter is not None and adapter not in server._adapter_id:
+            # validate HERE, not at server.submit: a ValueError from the
+            # drive loop's deferred submit would kill the whole daemon
+            print(f"  skipping {r.get('id', i)}: unknown adapter "
+                  f"{adapter!r} (loaded: {sorted(server._adapter_id)})",
+                  file=sys.stderr)
+            return None
         # with a prefix, the request's own tokens hold only its extra
         # context + text; the preset's frames live in the cached KV
         tokens, mask = generator._build_prompt(
@@ -693,7 +829,7 @@ def main(argv=None) -> int:
         ))
         return StreamRequest(tokens, mask, max_frames=max_frames,
                              request_id=r.get("id", i),
-                             adapter=r.get("adapter"), prefix=prefix)
+                             adapter=adapter, prefix=prefix)
 
     adapters = None
     if args.adapter:
@@ -807,7 +943,8 @@ def main(argv=None) -> int:
         return 0
     if args.follow:
         n_served, stats, wall = _serve_follow(
-            args, server, to_stream_request, attach_sink, emit_result
+            args, server, to_stream_request, attach_sink, emit_result,
+            drop_sink=lambda rid: sinks.pop(rid, None),
         )
     else:
         requests = []

@@ -94,6 +94,7 @@ class StreamResult:
     request_id: int
     frames: np.ndarray  # (n, K) int32 audio codes
     n_steps: int
+    cancelled: bool = False  # aborted via BatchedServer.cancel()
 
 
 class CachedPrefix(NamedTuple):
@@ -344,57 +345,24 @@ class BatchedServer:
 
         # multi-LoRA serving: load adapters into one fused-layout bank
         # (training/lora.fuse_lora_bank); requests pick by name, slots
-        # carry ids, every decode chunk applies each slot's own adapter
+        # carry ids, every decode chunk applies each slot's own adapter.
+        # ``_loaded[id-1]`` keeps each adapter's host tree so the bank can
+        # be REBUILT on hot add/remove (ids stay stable; freed positions
+        # become zero rows).
         self._bank = None
         self._adapter_id: Dict[str, int] = {}
+        self._loaded: List[Optional[tuple]] = []
         if adapters:
-            from csm_tpu.training.lora import fuse_lora_bank, load_lora
-
-            loaded = []
-            for i, (name, src_) in enumerate(adapters.items()):
-                if isinstance(src_, str):
-                    lora, lcfg, largs = load_lora(src_)
-                else:  # preloaded (lora_tree, LoRAConfig, ModelArgs)
-                    lora, lcfg, largs = src_
-                if largs is not None and largs != args:
-                    raise ValueError(
-                        f"adapter {name!r} was trained for a different "
-                        f"model shape")
-                loaded.append((lora, lcfg))
-                self._adapter_id[name] = i + 1  # 0 = base model
-            # the bank must use the SAME projection names as the param
-            # tree or the per-projection lookup in _layer_forward would
-            # silently skip every adapter: mesh servers (and
-            # CSM_TPU_NO_FUSE=1) keep separate wq/wk/wv, single-device
-            # servers run the fused wqkv/w13 layout
-            layout = ("fused" if "wqkv" in self.params["backbone"]
-                      else "separate")
-            self._bank = jax.jit(
-                lambda: fuse_lora_bank(
-                    loaded, args, dtype=compute_dtype, layout=layout)
-            )()
-            for comp in ("backbone", "decoder"):
-                sub = self._bank.get(comp)
-                extra = set(sub or ()) - set(self.params[comp])
-                assert not extra, (
-                    f"adapter bank names {sorted(extra)} missing from the "
-                    f"{comp} param layout — adapters would be silently "
-                    f"ignored")
-            if mesh is not None:
-                # the bank is tiny (rank-padded low-rank factors):
-                # REPLICATE it across the mesh — each device gathers its
-                # own slots' adapters locally, no collective needed
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                rep = NamedSharding(mesh, P())
-                self._bank = jax.tree.map(
-                    lambda x: jax.device_put(x, rep), self._bank
-                )
+            for name, src_ in adapters.items():
+                self._loaded.append(self._load_adapter(name, src_))
+                self._adapter_id[name] = len(self._loaded)  # 0 = base
+            self._rebuild_bank()
 
         # decode-chunk programs, keyed (batch, chunk): full batch / the
         # compacted power-of-two variants / the post-admission ramp chunk
         self._decodes: Dict[tuple, Callable] = {}
         self._admit = self._build_admit()
+        self._kill = self._build_kill()
         self._prefills: Dict[int, Callable] = {}
         # shared-prefix serving: registered context KV blocks + compiled
         # programs (per prefix bucket / per (prefix, suffix) bucket pair)
@@ -483,6 +451,116 @@ class BatchedServer:
             )
 
         return jax.jit(admit, donate_argnums=(0,))
+
+    def _build_kill(self):
+        def kill(slots: SlotState, slot):
+            return slots._replace(
+                live=slots.live.at[slot].set(False),
+                remaining=slots.remaining.at[slot].set(0),
+            )
+
+        return jax.jit(kill, donate_argnums=(0,))
+
+    # ---- multi-LoRA adapter bank ----
+
+    def _load_adapter(self, name: str, src_) -> tuple:
+        if isinstance(src_, str):
+            from csm_tpu.training.lora import load_lora
+
+            lora, lcfg, largs = load_lora(src_)
+        else:  # preloaded (lora_tree, LoRAConfig, ModelArgs)
+            lora, lcfg, largs = src_
+        if largs is not None and largs != self.args:
+            raise ValueError(
+                f"adapter {name!r} was trained for a different model shape")
+        return (lora, lcfg)
+
+    def _rebuild_bank(self) -> None:
+        from csm_tpu.training.lora import LoRAConfig, fuse_lora_bank
+
+        # freed positions contribute zero rows so surviving ids are stable
+        loaded = [x if x is not None else ({}, LoRAConfig(r=1))
+                  for x in self._loaded]
+        # the bank must use the SAME projection names as the param tree or
+        # the per-projection lookup in _layer_forward would silently skip
+        # every adapter: mesh servers (and CSM_TPU_NO_FUSE=1) keep separate
+        # wq/wk/wv, single-device servers run the fused wqkv/w13 layout
+        layout = ("fused" if "wqkv" in self.params["backbone"]
+                  else "separate")
+        self._bank = jax.jit(
+            lambda: fuse_lora_bank(
+                loaded, self.args, dtype=self.compute_dtype, layout=layout)
+        )()
+        for comp in ("backbone", "decoder"):
+            sub = self._bank.get(comp)
+            extra = set(sub or ()) - set(self.params[comp])
+            assert not extra, (
+                f"adapter bank names {sorted(extra)} missing from the "
+                f"{comp} param layout — adapters would be silently ignored")
+        if self.mesh is not None:
+            # the bank is tiny (rank-padded low-rank factors): REPLICATE
+            # it across the mesh — each device gathers its own slots'
+            # adapters locally, no collective needed
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self._bank = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self._bank
+            )
+
+    def add_adapter(self, name: str, src) -> int:
+        """Hot-load a LoRA fine-tune into the RUNNING server.
+
+        ``src`` — an adapter directory (``load_lora`` format) or a
+        preloaded ``(lora_tree, LoRAConfig, ModelArgs)``.  In-flight
+        streams are untouched (their slots keep decoding with their own
+        adapter ids); the next admission may name the new adapter.  If
+        the rebuilt bank's shapes match the old one (same max rank, same
+        touched projections) the swap is free; otherwise the next decode
+        chunk retraces once — the bank is a jit ARGUMENT, never baked
+        into the compiled programs.  Returns the adapter id.
+        """
+        if name in self._adapter_id:
+            raise ValueError(f"adapter {name!r} already loaded")
+        entry = self._load_adapter(name, src)
+        free = [i for i, x in enumerate(self._loaded) if x is None]
+        pos = free[0] if free else len(self._loaded)
+        if free:
+            self._loaded[pos] = entry
+        else:
+            self._loaded.append(entry)
+        self._adapter_id[name] = pos + 1
+        self._rebuild_bank()
+        return pos + 1
+
+    def remove_adapter(self, name: str) -> None:
+        """Unload an adapter; its bank row zeroes and its id is reusable.
+
+        Refuses while any ACTIVE slot decodes with it or any registered
+        prefix was computed under it (drain or ``cancel`` those first).
+        """
+        aid = self._adapter_id.get(name)
+        if aid is None:
+            raise ValueError(
+                f"unknown adapter {name!r} (loaded: "
+                f"{sorted(self._adapter_id)})")
+        if bool(np.any(self._adapter_ids[self.active] == aid)):
+            raise ValueError(
+                f"adapter {name!r} is in use by an active stream")
+        stale = [p for p, pre in self._prefixes.items()
+                 if (pre.adapter or None) == name]
+        if stale:
+            raise ValueError(
+                f"adapter {name!r} is referenced by prefix(es) {stale}")
+        del self._adapter_id[name]
+        self._adapter_ids[self._adapter_ids == aid] = 0  # stale dead slots
+        self._loaded[aid - 1] = None
+        while self._loaded and self._loaded[-1] is None:
+            self._loaded.pop()  # shrink the bank when the tail frees
+        if self._loaded or self._adapter_id:
+            self._rebuild_bank()
+        else:
+            self._bank = None
 
     def _prefill_fn(self, bucket: int):
         """Compiled per-slot prefill: run the prompt for ONE slot and merge
@@ -1027,7 +1105,7 @@ class BatchedServer:
         self.slot_streamed[slot] = len(frames)
         req.on_frames(req.request_id, new, done)
 
-    def _finish(self, slot: int) -> StreamResult:
+    def _finish(self, slot: int, cancelled: bool = False) -> StreamResult:
         req = self.slot_request[slot]
         self._notify(slot, done=True)
         frames = (
@@ -1035,11 +1113,34 @@ class BatchedServer:
             if self.slot_frames[slot]
             else np.zeros((0, self.args.audio_num_codebooks), np.int32)
         )
-        res = StreamResult(req.request_id, frames, len(self.slot_frames[slot]))
+        res = StreamResult(req.request_id, frames, len(self.slot_frames[slot]),
+                           cancelled=cancelled)
         self.active[slot] = False
         self.slot_request[slot] = None
         self.slot_frames[slot] = []
         return res
+
+    def cancel(self, request_id: int) -> Optional[StreamResult]:
+        """Abort an in-flight request (client disconnect / user abort).
+
+        The slot goes dead ON DEVICE immediately — the next decode chunk
+        spends no work on it — and frees for the next admission.  The
+        request's ``on_frames`` callback still fires exactly once with
+        ``done=True`` (so streaming sinks close), and the partial
+        ``StreamResult`` is returned with ``cancelled=True`` (it does NOT
+        also surface through ``step()``).  Returns None if no live slot
+        carries ``request_id``.  The reference has no serving path at
+        all, let alone cancellation (src/csm/generator.py runs each
+        request to completion synchronously).
+        """
+        for slot in np.nonzero(self.active)[0]:
+            s = int(slot)
+            req = self.slot_request[s]
+            if req is not None and req.request_id == request_id:
+                self.slots = self._kill(self.slots, jnp.int32(s))
+                self._pending_f0.pop(s, None)  # un-emitted prefill frame
+                return self._finish(s, cancelled=True)
+        return None
 
     def run(self, requests: List[StreamRequest], max_steps: int = 10_000):
         """Serve a request list to completion; returns (results, stats)."""

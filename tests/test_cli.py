@@ -479,6 +479,92 @@ def test_serve_http_stream(tmp_path):
             proc.kill()
 
 
+@pytest.mark.slow
+def test_serve_http_stream_disconnect_cancels(tmp_path):
+    """A --stream client hanging up mid-response cancels its request:
+    the slot frees on device (csm_serve_cancelled_total increments) and
+    the server keeps serving new clients."""
+    import json as _json
+    import socket
+    import struct
+    import subprocess
+    import sys
+    import time as _time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base = f"http://127.0.0.1:{port}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csm_tpu.cli.serve",
+         "--http", f"127.0.0.1:{port}", "--stream", "--tiny-test",
+         "--no-watermark", "--n-slots", "2", "--chunk-size", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        for _ in range(600):
+            _time.sleep(1)
+            assert proc.poll() is None, proc.communicate()[0]
+            try:
+                urllib.request.urlopen(base + "/health", timeout=2)
+                break
+            except OSError:
+                continue
+        else:
+            raise AssertionError("server never became healthy")
+
+        # raw socket: http.client detaches the socket on close-delimited
+        # responses, and we need to hang up abruptly mid-stream
+        body = _json.dumps({"text": "very long request",
+                            "max_audio_length_ms": 10_000}).encode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=600)
+        s.sendall(
+            b"POST /generate HTTP/1.1\r\nHost: t\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body)
+        got = b""
+        while b"\r\n\r\n" not in got or \
+                len(got.split(b"\r\n\r\n", 1)[1]) < 3840:
+            chunk = s.recv(4096)
+            assert chunk, f"stream ended early:\n{got[:400]!r}"
+            got += chunk
+        assert got.split(b" ", 2)[1] == b"200", got[:200]
+        # abrupt hang-up: RST (not FIN) so the server's next write fails
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     struct.pack("ii", 1, 0))
+        s.close()
+
+        for _ in range(120):
+            m = urllib.request.urlopen(
+                base + "/metrics", timeout=10).read().decode()
+            if "csm_serve_cancelled_total 1" in m:
+                break
+            _time.sleep(0.5)
+        else:
+            raise AssertionError(f"request never cancelled:\n{m}")
+
+        # the freed slot serves the next client normally
+        body = _json.dumps({"text": "after the hangup",
+                            "max_audio_length_ms": 400}).encode()
+        req = urllib.request.Request(
+            base + "/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert len(r.read()) > 0
+
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
+        stdout = proc.communicate(timeout=120)[0]
+        assert proc.returncode == 0, stdout
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_http_handler_overload_503():
     """The HTTP admission protocol without a live server: a full bounded
     inbox (--http-queue) answers 503 immediately; /health and bad paths
@@ -499,7 +585,7 @@ def test_http_handler_overload_503():
     inbox.put_nowait(("occupied", None, None))  # bound reached
     H = _make_http_handler(
         FakeServer(), inbox, threading.Event(), {"served": 0, "frames": 0},
-        24_000,
+        24_000, queue.Queue(),
     )
 
     def drive(method, path, body=b""):
@@ -544,6 +630,92 @@ def test_http_handler_overload_503():
     t.join(timeout=10)
     assert " 200 " in out.splitlines()[0], out
     assert out.endswith("RIFFfake")
+
+
+@pytest.mark.slow
+def test_serve_http_adapters_hot_reload(tmp_path):
+    """POST /adapters hot-loads a LoRA fine-tune into the running HTTP
+    daemon: requests can name it immediately; unload frees it."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    import jax
+    from csm_tpu.models.config import tiny_test_args
+    from csm_tpu.training.lora import LoRAConfig, init_lora_params, save_lora
+
+    margs = tiny_test_args()
+    cfg = LoRAConfig(r=2)
+    lora = jax.tree.map(
+        lambda x: x + 0.02, init_lora_params(jax.random.key(1), margs, cfg)
+    )
+    adir = str(tmp_path / "bob_adapter")
+    save_lora(adir, lora, cfg, margs)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base = f"http://127.0.0.1:{port}"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "csm_tpu.cli.serve",
+         "--http", f"127.0.0.1:{port}", "--tiny-test",
+         "--no-watermark", "--n-slots", "2", "--chunk-size", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+    def post(path, obj, timeout=600):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    try:
+        for _ in range(600):
+            _time.sleep(1)
+            assert proc.poll() is None, proc.communicate()[0]
+            try:
+                urllib.request.urlopen(base + "/health", timeout=2)
+                break
+            except OSError:
+                continue
+        else:
+            raise AssertionError("server never became healthy")
+
+        # unknown adapter rejected before load
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/generate", {"text": "hi", "adapter": "bob",
+                               "max_audio_length_ms": 240})
+        assert ei.value.code == 400
+
+        with post("/adapters", {"name": "bob", "path": adir}) as r:
+            assert _json.loads(r.read()) == {
+                "status": "loaded", "name": "bob", "id": 1}
+
+        gen = {"text": "hello there", "max_audio_length_ms": 400}
+        with post("/generate", dict(gen, adapter="bob")) as r:
+            tuned = r.read()
+        with post("/generate", gen) as r:
+            base_wav = r.read()
+        assert tuned != base_wav  # the adapter changes the audio
+
+        with post("/adapters", {"name": "bob", "unload": True}) as r:
+            assert _json.loads(r.read())["status"] == "unloaded"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/generate", dict(gen, adapter="bob"))
+        assert ei.value.code == 400
+
+        urllib.request.urlopen(
+            urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
+        stdout = proc.communicate(timeout=120)[0]
+        assert proc.returncode == 0, stdout
+    finally:
+        if proc.poll() is None:
+            proc.kill()
 
 
 def test_serve_multi_adapter_tiny(tmp_path):

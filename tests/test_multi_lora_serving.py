@@ -115,6 +115,59 @@ def test_unknown_adapter_rejected(setup):
         srv.submit(make_request(args, 6, 0, seed=1, adapter="nobody"))
 
 
+@pytest.mark.slow  # many distinct bank shapes -> several first compiles
+def test_hot_add_remove_adapter(setup):
+    """add_adapter on a RUNNING server: the new fine-tune serves exactly
+    like one loaded at construction; remove_adapter frees the id (and
+    refuses while a stream uses it); in-flight base streams are
+    unperturbed."""
+    args, params, named = setup
+    ads = adapters_arg(named)
+
+    # oracle: both adapters loaded at construction
+    want = {}
+    for name in ("alice", "bob", None):
+        srv = BatchedServer(params, args, n_slots=1, adapters=ads, **KW)
+        r, _ = srv.run([make_request(args, 6, 0, seed=1, adapter=name)])
+        want[name] = r[0].frames
+
+    # start with alice only; hot-add bob mid-flight
+    srv = BatchedServer(params, args, n_slots=2,
+                        adapters=adapters_arg(named[:1]), **KW)
+    with pytest.raises(ValueError, match="unknown adapter"):
+        srv.submit(make_request(args, 6, 0, seed=1, adapter="bob"))
+    long_base = make_request(args, 6, rid=0, seed=1, adapter=None,
+                             max_frames=8)
+    srv.submit(long_base)
+    srv.step()  # base stream in flight
+    nm, lora, cfg = named[1]
+    assert srv.add_adapter(nm, (lora, cfg, None)) == 2
+    with pytest.raises(ValueError, match="already loaded"):
+        srv.add_adapter(nm, (lora, cfg, None))
+    srv.submit(make_request(args, 6, rid=1, seed=1, adapter="bob"))
+    res, _ = srv.run([])
+    by_id = {r.request_id: r for r in res}
+    np.testing.assert_array_equal(by_id[1].frames, want["bob"])
+    n = want[None].shape[0]
+    np.testing.assert_array_equal(by_id[0].frames[:n], want[None])
+
+    # removal: refused while in use, allowed after; id gets reused
+    srv.submit(make_request(args, 6, rid=2, seed=2, adapter="bob",
+                            max_frames=8))
+    with pytest.raises(ValueError, match="in use"):
+        srv.remove_adapter("bob")
+    srv.cancel(2)
+    srv.remove_adapter("bob")
+    with pytest.raises(ValueError, match="unknown adapter"):
+        srv.remove_adapter("bob")
+    assert srv.add_adapter("carol", (lora, cfg, None)) == 2  # id reused
+    r, _ = srv.run([make_request(args, 6, 0, seed=1, adapter="carol")])
+    np.testing.assert_array_equal(r[0].frames, want["bob"])
+    # alice survived the churn
+    r, _ = srv.run([make_request(args, 6, 0, seed=1, adapter="alice")])
+    np.testing.assert_array_equal(r[0].frames, want["alice"])
+
+
 def test_separate_layout_bank_matches_fused(setup):
     """The separate-projection bank (mesh layout) encodes the same math
     as the fused bank: a server forced onto separate params with a

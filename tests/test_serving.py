@@ -355,6 +355,40 @@ def test_warmup_compiles_then_serves(tiny):
     np.testing.assert_array_equal(got[: want.shape[0]], want[: got.shape[0]])
 
 
+def test_cancel_frees_slot_and_leaves_others_exact(tiny):
+    """cancel(): the slot dies on device and admits a new request at
+    once; the survivor's tokens are untouched; on_frames fires done=True
+    exactly once for the cancelled stream."""
+    args, params = tiny
+    server = BatchedServer(params, args, n_slots=2, max_seq_len=128,
+                           temperature=1.0, topk=1,
+                           compute_dtype=jnp.float32, chunk_size=2)
+    r0 = make_request(args, 6, rid=0, seed=1, max_frames=20)
+    events = []
+    r0.on_frames = lambda rid, new, done: events.append(
+        (rid, new.shape[0], done))
+    r1 = make_request(args, 6, rid=1, seed=2, max_frames=8)
+    server.submit(r0)
+    server.submit(r1)
+    server.step()
+
+    assert server.cancel(99) is None  # unknown id: no-op
+    res = server.cancel(0)
+    assert res is not None and res.cancelled and res.request_id == 0
+    assert res.frames.shape[0] == res.n_steps
+    assert [e for e in events if e[2]] == [(0, 0, True)]  # one done=True
+    assert server.cancel(0) is None  # idempotent: already gone
+
+    r2 = make_request(args, 6, rid=2, seed=3, max_frames=4)
+    assert server.submit(r2) is not None  # freed slot admits immediately
+    results, _ = server.run([])
+    by_id = {r.request_id: r for r in results}
+    assert set(by_id) == {1, 2} and not any(r.cancelled for r in results)
+
+    # the survivor decoded exactly what it would have alone
+    np.testing.assert_array_equal(by_id[1].frames, solo_frames(args, params, r1))
+
+
 def test_ramp_chunk_parity_and_first_gather(tiny):
     """ramp_chunk: argmax tokens identical to an un-ramped server; the
     step right after an admission gathers after <= ramp_chunk decoded
