@@ -468,6 +468,8 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate,
             self._json_reply(200, {
                 "status": "ok", "n_slots": server.n_slots,
                 "active": int(server.active.sum()),
+                "adapters": sorted(server._adapter_id),
+                "prefixes": sorted(server._prefixes),
                 **{k: v for k, v in stats_box.items() if k != "t0"},
             })
 

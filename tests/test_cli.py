@@ -580,6 +580,8 @@ def test_http_handler_overload_503():
     class FakeServer:
         n_slots = 2
         active = np.zeros(2, bool)
+        _adapter_id = {}
+        _prefixes = {}
 
     inbox = queue.Queue(maxsize=1)
     inbox.put_nowait(("occupied", None, None))  # bound reached
