@@ -285,7 +285,7 @@ class _StdinPoller:
 
 
 def _serve_follow(args, server, to_stream_request, attach_sink, emit_result,
-                  drop_sink=lambda rid: None):
+                  drop_sink=lambda rid: None, register_prefix_file=None):
     """Daemon loop: poll stdin for new JSONL requests, admit them at frame
     boundaries (continuous batching), emit each result the moment it
     finishes; exit at EOF once pending + active drain."""
@@ -309,9 +309,13 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result,
                     print(f"  bad request line skipped: {e}", file=sys.stderr)
                     continue
                 if isinstance(r, dict) and (
-                        "load_adapter" in r or "unload_adapter" in r):
-                    # hot adapter reload: {"load_adapter": {"name","path"}}
-                    # / {"unload_adapter": NAME}
+                        "load_adapter" in r or "unload_adapter" in r
+                        or "register_prefix" in r
+                        or "unregister_prefix" in r):
+                    # hot reload: {"load_adapter": {"name","path"}} /
+                    # {"unload_adapter": NAME} / {"register_prefix":
+                    # {"name","path"[,"adapter"]}} /
+                    # {"unregister_prefix": NAME}
                     try:
                         if "load_adapter" in r:
                             spec = r["load_adapter"]
@@ -319,12 +323,20 @@ def _serve_follow(args, server, to_stream_request, attach_sink, emit_result,
                                                      spec["path"])
                             print(f"  adapter {spec['name']!r} loaded "
                                   f"(id {aid})", file=sys.stderr)
-                        else:
+                        elif "unload_adapter" in r:
                             server.remove_adapter(r["unload_adapter"])
                             print(f"  adapter {r['unload_adapter']!r} "
                                   f"unloaded", file=sys.stderr)
+                        elif "register_prefix" in r:
+                            spec = r["register_prefix"]
+                            register_prefix_file(spec["name"], spec["path"],
+                                                 spec.get("adapter"))
+                        else:
+                            server.unregister_prefix(r["unregister_prefix"])
+                            print(f"  prefix {r['unregister_prefix']!r} "
+                                  f"unregistered", file=sys.stderr)
                     except Exception as e:  # daemon survives bad specs
-                        print(f"  adapter op failed: {e!r}", file=sys.stderr)
+                        print(f"  reload op failed: {e!r}", file=sys.stderr)
                     continue
                 if isinstance(r, dict) and "cancel" in r:
                     # {"cancel": ID}: abort an in-flight request — the
@@ -477,10 +489,12 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate,
             if self.path == "/shutdown":
                 stop.set()
                 return self._json_reply(200, {"status": "shutting down"})
-            if self.path == "/adapters":
-                # hot adapter (un)load: {"name","path"} loads, {"name",
-                # "unload":true} unloads.  Executed on the DRIVE thread
-                # (it owns the server) via the same inbox as /generate.
+            if self.path in ("/adapters", "/prefixes"):
+                # hot (un)load: {"name","path"} loads, {"name",
+                # "unload":true} unloads.  /prefixes additionally takes
+                # an optional "adapter" (prefill the preset under it).
+                # Executed on the DRIVE thread (it owns the server) via
+                # the same inbox as /generate.
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = _json.loads(self.rfile.read(n))
@@ -491,14 +505,16 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate,
                                        '{"name", "unload": true}'})
                 done = threading.Event()
                 holder: dict = {}
-                inbox.put((("adapter", req), done, holder))
+                op = {"/adapters": "adapter", "/prefixes": "prefix"}
+                inbox.put(((op[self.path], req), done, holder))
                 done.wait()
                 code = 200 if "error" not in holder else 400
                 return self._json_reply(
                     code, holder.get("json", holder))
             if self.path != "/generate":
                 return self._json_reply(
-                    404, {"error": "POST /generate or /adapters"})
+                    404, {"error": "POST /generate, /adapters or "
+                                   "/prefixes"})
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 if not 0 <= n <= self.max_body:
@@ -553,7 +569,8 @@ def _make_http_handler(server, inbox, stop, stats_box, sample_rate,
 
 
 def _serve_http(args, server, to_stream_request, finish_audio,
-                make_stream_sink=None, sample_rate=24_000):
+                make_stream_sink=None, sample_rate=24_000,
+                register_prefix_file=None):
     """HTTP daemon: handler threads enqueue requests and block on a
     per-request event; the MAIN thread is the only one driving the
     BatchedServer (admit at frame boundaries, decode chunks, fulfill
@@ -605,17 +622,27 @@ def _serve_http(args, server, to_stream_request, finish_audio,
     n_served = 0
     def admit(req, done, holder):
         nonlocal n_seen
-        if isinstance(req, tuple) and req[0] == "adapter":
-            spec = req[1]
+        if isinstance(req, tuple) and req[0] in ("adapter", "prefix"):
+            kind, spec = req
             try:
                 if spec.get("unload"):
-                    server.remove_adapter(spec["name"])
+                    if kind == "adapter":
+                        server.remove_adapter(spec["name"])
+                    else:
+                        server.unregister_prefix(spec["name"])
                     holder["json"] = {"status": "unloaded",
                                       "name": spec["name"]}
-                else:
+                elif kind == "adapter":
                     aid = server.add_adapter(spec["name"], spec["path"])
                     holder["json"] = {"status": "loaded",
                                       "name": spec["name"], "id": aid}
+                else:
+                    pre = register_prefix_file(
+                        spec["name"], spec["path"], spec.get("adapter"))
+                    holder["json"] = {"status": "loaded",
+                                      "name": spec["name"],
+                                      "frames": pre.length,
+                                      "bucket": pre.bucket}
             except Exception as e:
                 holder["error"] = repr(e)
             done.set()
@@ -851,30 +878,37 @@ def main(argv=None) -> int:
         weight_dtype=args.weight_dtype,
         kv_dtype=args.kv_dtype, adapters=adapters,
     )
-    if args.prefix:
+    def register_prefix_file(name, path, adapter=None):
+        """Mimi-encode + backbone-prefill a preset context JSON file
+        (``{"context": [{"audio", "text", "speaker"}, ...]}``) into the
+        server's prefix cache."""
         from csm_tpu.data import frames as fr
         from csm_tpu.data.audio import load_audio
 
+        with open(path) as f:
+            ctx = json.load(f)
+        if isinstance(ctx, dict):
+            ctx = ctx.get("context", [])
+        t0p = time.time()
+        parts = [generator._segment_frames(Segment(
+            speaker=int(c["speaker"]), text=c["text"],
+            audio=load_audio(c["audio"], generator.sample_rate),
+        )) for c in ctx]
+        tokens, mask = fr.concat_frames(parts)
+        pre = server.register_prefix(name, tokens, mask, adapter=adapter)
+        print(f"  prefix {name!r}: {pre.length} frames "
+              f"(bucket {pre.bucket}) cached in "
+              f"{time.time() - t0p:.2f}s", file=sys.stderr)
+        return pre
+
+    if args.prefix:
         for spec in args.prefix:
             if "=" not in spec:
                 print(f"--prefix must be NAME=FILE.json, got {spec!r}",
                       file=sys.stderr)
                 return 2
             name, path = spec.split("=", 1)
-            with open(path) as f:
-                ctx = json.load(f)
-            if isinstance(ctx, dict):
-                ctx = ctx.get("context", [])
-            t0p = time.time()
-            parts = [generator._segment_frames(Segment(
-                speaker=int(c["speaker"]), text=c["text"],
-                audio=load_audio(c["audio"], generator.sample_rate),
-            )) for c in ctx]
-            tokens, mask = fr.concat_frames(parts)
-            pre = server.register_prefix(name, tokens, mask)
-            print(f"  prefix {name!r}: {pre.length} frames "
-                  f"(bucket {pre.bucket}) cached in "
-                  f"{time.time() - t0p:.2f}s")
+            register_prefix_file(name, path)
     if args.warmup:
         print("Warming serving programs...", flush=True)
         dt = server.warmup(verbose=True)
@@ -937,6 +971,7 @@ def main(argv=None) -> int:
         n_served, stats, wall = _serve_http(
             args, server, to_stream_request, finish_audio,
             make_stream_sink=make_sink, sample_rate=generator.sample_rate,
+            register_prefix_file=register_prefix_file,
         )
         print(f"Served {n_served} requests in {wall:.2f}s: "
               f"{stats['total_frames']} frames, "
@@ -947,6 +982,7 @@ def main(argv=None) -> int:
         n_served, stats, wall = _serve_follow(
             args, server, to_stream_request, attach_sink, emit_result,
             drop_sink=lambda rid: sinks.pop(rid, None),
+            register_prefix_file=register_prefix_file,
         )
     else:
         requests = []

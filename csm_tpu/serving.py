@@ -689,6 +689,20 @@ class BatchedServer:
         self._prefixes[name] = pre
         return pre
 
+    def unregister_prefix(self, name: str) -> None:
+        """Drop a cached prefix and release its KV blocks.
+
+        Safe with active streams: admission COPIES the prefix blocks into
+        the slot's cache, so removal only affects FUTURE requests naming
+        the prefix (rejected at admission).  Re-``register_prefix`` under
+        the same name likewise swaps it for new admissions only.
+        """
+        if name not in self._prefixes:
+            raise ValueError(
+                f"unknown prefix {name!r} (registered: "
+                f"{sorted(self._prefixes)})")
+        del self._prefixes[name]
+
     def _prefix_prefill_fn(self, pb: int, sb: int):
         """Compiled prefix admission: seed one slot's cache columns
         [0, pb) with a registered prefix, prefill the request's own

@@ -181,6 +181,38 @@ def test_prefix_errors(tiny):
                                   adapter="spk"))
 
 
+def test_unregister_and_hot_swap_prefix(tiny):
+    """unregister_prefix frees the name for future admissions only, and
+    re-registering under the same name swaps the preset: subsequent
+    requests decode exactly as under a fresh server with the new context."""
+    args, params = tiny
+    kw = dict(n_slots=1, max_seq_len=256, temperature=1.0, topk=1,
+              compute_dtype=jnp.float32)
+    ctx_a = make_frames(args, 20, seed=61, audio_rows=16)
+    ctx_b = make_frames(args, 24, seed=62, audio_rows=20)
+    txt_t, txt_m = make_frames(args, 6, seed=63)
+    req = lambda rid: StreamRequest(txt_t, txt_m, max_frames=3,
+                                    request_id=rid, prefix="voice")
+
+    # oracles: each context registered on its own fresh server
+    want = {}
+    for key, (ct, cm) in (("a", ctx_a), ("b", ctx_b)):
+        srv = BatchedServer(params, args, **kw)
+        srv.register_prefix("voice", ct, cm)
+        want[key] = _serve(srv, [req(0)])[0]
+
+    server = BatchedServer(params, args, **kw)
+    server.register_prefix("voice", *ctx_a)
+    np.testing.assert_array_equal(_serve(server, [req(0)])[0], want["a"])
+    server.unregister_prefix("voice")
+    with pytest.raises(ValueError, match="unknown prefix"):
+        server.submit(req(1))
+    with pytest.raises(ValueError, match="unknown prefix"):
+        server.unregister_prefix("voice")
+    server.register_prefix("voice", *ctx_b)  # hot swap
+    np.testing.assert_array_equal(_serve(server, [req(2)])[2], want["b"])
+
+
 def test_prefix_too_long_rejected(tiny):
     args, params = tiny
     server = BatchedServer(params, args, n_slots=1, max_seq_len=64,
