@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "after this many frames instead of a full chunk "
                         "(cuts time-to-first-audio for --stream/--http "
                         "clients at one extra round-trip per admission)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="Keep one decode chunk in flight: dispatch chunk "
+                        "N+1 before fetching chunk N, so the chip never "
+                        "idles on the host round-trip (throughput mode; "
+                        "results land one chunk later, freed slots "
+                        "re-admit one chunk later)")
     p.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
                    help="KV-cache storage: int8 quantizes K/V at write "
                         "(half the decode cache HBM stream, 2x slot "
@@ -877,6 +883,7 @@ def main(argv=None) -> int:
         chunk_size=args.chunk_size, ramp_chunk=args.ramp_chunk,
         weight_dtype=args.weight_dtype,
         kv_dtype=args.kv_dtype, adapters=adapters,
+        pipelined=args.pipelined,
     )
     def register_prefix_file(name, path, adapter=None):
         """Mimi-encode + backbone-prefill a preset context JSON file

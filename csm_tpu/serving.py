@@ -135,6 +135,30 @@ class SlotState(NamedTuple):
     remaining: jnp.ndarray  # (B,) int32 — frames the slot may still emit
 
 
+class _InFlight(NamedTuple):
+    """A dispatched-but-unfetched decode chunk (``pipelined=True``).
+
+    Everything ``_collect`` needs to drain the chunk one step later:
+    device handles for the chunk outputs plus the host-side slot↔row
+    map frozen at dispatch time.  ``live`` is a ``jnp.copy`` of the
+    chunk's liveness output — the original buffer gets DONATED by the
+    next chunk's dispatch (full-batch path) or by a submit's admit
+    before this chunk is fetched.  ``gens`` snapshots each slot's
+    admission generation so frames/finish decisions only ever apply to
+    the request that was resident at dispatch time (a slot that
+    finished in this chunk and was re-admitted before the fetch must
+    not have its NEW request touched by the stale rows).
+    """
+
+    frames: jnp.ndarray  # (chunk, B, K) device handle
+    counts: jnp.ndarray  # (B,) device handle
+    live: jnp.ndarray  # (B,) device handle (copied — donation-safe)
+    pend: dict  # slot -> deferred prefill frame0 device handle
+    live_idx: np.ndarray  # active slots at dispatch time
+    row_of: dict  # slot -> row in the (possibly compacted) chunk
+    gens: dict  # slot -> admission generation at dispatch time
+
+
 def build_decode_fn(
     args: ModelArgs, B: int, chunk_size: int, topk: int, compute_dtype
 ):
@@ -237,6 +261,7 @@ class BatchedServer:
         weight_dtype: str = "bf16",
         kv_dtype: str = "bf16",
         adapters: Optional[dict] = None,
+        pipelined: bool = False,
     ):
         """``chunk_size`` — max decode frames per host round-trip: admission
         latency granularity trades against per-dispatch overhead (a chunk
@@ -274,7 +299,22 @@ class BatchedServer:
         quantizes K/V rows at write (per-position-per-head scales,
         csm_tpu/ops/kvcache.py) and dequantizes inside the attention
         load — halves the decode-time cache HBM stream AND doubles the
-        slot capacity per GiB (the serving ceiling per BENCHMARKS.md)."""
+        slot capacity per GiB (the serving ceiling per BENCHMARKS.md).
+
+        ``pipelined`` — keep ONE decode chunk in flight: ``step()``
+        dispatches chunk N+1 before fetching chunk N's results, so the
+        device never idles waiting for the host round-trip (the
+        control plane is on device; chaining dispatches is exact).
+        Throughput mode for daemons.  Trade-offs: a freed slot is
+        visible for re-admission one chunk later; `cancel` first drains
+        the in-flight chunk; and because the host's liveness view lags
+        one chunk, compaction capacities — and with them the sampling
+        key schedule — can differ from the unpipelined server during
+        churn, so tokens are distribution-identical but not bit-equal
+        at temperature > 0 (same caveat as ``ramp_chunk``; equal at
+        topk=1).  With ``ramp_chunk`` set, admission steps drop to
+        synchronous dispatch so time-to-first-audio keeps the ramp
+        win."""
         if weight_dtype not in ("bf16", "int8", "int8-decoder", "int4",
                                 "auto"):
             raise ValueError(
@@ -327,6 +367,7 @@ class BatchedServer:
         self.topk = topk
         self.compute_dtype = compute_dtype
         self.chunk_size = chunk_size
+        self.pipelined = pipelined
         if ramp_chunk is not None and not (1 <= ramp_chunk < chunk_size):
             raise ValueError(
                 f"ramp_chunk must be in [1, chunk_size) = [1, {chunk_size}), "
@@ -418,6 +459,13 @@ class BatchedServer:
         # zero host round-trips, one fewer on the first-audio path
         self._pending_f0: Dict[int, jnp.ndarray] = {}
         self.active = np.zeros(self.n_slots, bool)
+        # per-slot admission generation (bumped by submit): lets a stale
+        # in-flight chunk be matched to the request that was resident at
+        # its dispatch (pipelined mode)
+        self.slot_gen = np.zeros(self.n_slots, np.int64)
+        # the dispatched-but-unfetched chunk (pipelined mode); reset
+        # drops it — its rows reference pre-reset slots
+        self._inflight: Optional[_InFlight] = None
         self._adapter_ids = np.zeros(self.n_slots, np.int32)
         self._step_count = 0
         self._base_key = jax.random.key(seed)
@@ -893,6 +941,7 @@ class BatchedServer:
         self.slot_frames[slot] = []
         self.slot_streamed[slot] = 0
         self.active[slot] = True
+        self.slot_gen[slot] += 1
         if req.max_frames < 1:  # no budget: finish empty, free the slot
             self._finished_at_submit.append(self._finish(slot))
         else:
@@ -1028,16 +1077,11 @@ class BatchedServer:
             c = ((c + n_data - 1) // n_data) * n_data
         return c if c <= self.n_slots // 2 else self.n_slots
 
-    def step(self) -> List[StreamResult]:
-        """Advance every active stream by up to one chunk of frames; returns
-        finished streams.  EOS and budget exhaustion are detected on device
-        — the host does one dispatch and one gather per chunk.  When live
-        slots fill at most half the server, they are compacted into a
-        smaller decode program (idle slots cost nothing)."""
-        done: List[StreamResult] = self._finished_at_submit
-        self._finished_at_submit = []
-        if not self.active.any():
-            return done
+    def _dispatch(self) -> _InFlight:
+        """Dispatch one decode chunk for the current device state (no host
+        fetch).  When live slots fill at most half the server, they are
+        compacted into a smaller decode program (idle slots cost
+        nothing)."""
         self._step_count += 1
         pend = self._pending_f0  # prefill frames still on device
         self._pending_f0 = {}
@@ -1063,10 +1107,7 @@ class BatchedServer:
                 self.params, self._base_key, self._step_count,
                 sub_state, sub_slots, jnp.float32(self.temperature), **dkw,
             )
-            # fetch BEFORE scatter: it donates the sub buffers
-            f_host, counts_h, live_h, f0_vals = jax.device_get(
-                (frames, counts, sub_slots.live, list(pend.values()))
-            )
+            live = jnp.copy(sub_slots.live)
             self.state, self.slots = scatter(
                 self.state, self.slots, sub_state, sub_slots, idx_dev
             )
@@ -1082,26 +1123,80 @@ class BatchedServer:
                 self.params, self._base_key, self._step_count,
                 self.state, self.slots, jnp.float32(self.temperature), **dkw,
             )
-            # ONE host gather for the whole chunk
-            f_host, counts_h, live_h, f0_vals = jax.device_get(
-                (frames, counts, self.slots.live, list(pend.values()))
-            )
+            # the slots buffer gets donated by the NEXT dispatch (or by a
+            # submit's admit) before a pipelined fetch — copy liveness out
+            live = jnp.copy(self.slots.live)
             row_of = {int(s): int(s) for s in live_idx}
+        gens = {int(s): int(self.slot_gen[int(s)]) for s in live_idx}
+        return _InFlight(frames, counts, live, pend,
+                         live_idx, row_of, gens)
+
+    def _collect(self, infl: _InFlight) -> List[StreamResult]:
+        """Fetch a dispatched chunk's results and apply them to the host
+        mirrors — ONE host gather per chunk."""
+        f_host, counts_h, live_h, f0_vals = jax.device_get(
+            (infl.frames, infl.counts, infl.live, list(infl.pend.values()))
+        )
+        done: List[StreamResult] = []
         # deferred prefill frames land FIRST in their slot's stream; an
         # all-zero frame0 was the EOS marker and is never emitted
-        for s, f0 in zip(pend, f0_vals):
+        for slot, f0 in zip(infl.pend, f0_vals):
+            s = int(slot)
+            if (self.slot_request[s] is None
+                    or self.slot_gen[s] != infl.gens[s]):
+                continue  # finished/cancelled/re-admitted since dispatch
             f0 = np.asarray(f0, np.int32)
             if f0.any():
-                self.slot_frames[int(s)].append(f0)
-        for slot in live_idx:
+                self.slot_frames[s].append(f0)
+        for slot in infl.live_idx:
             s = int(slot)
-            r = row_of[s]
+            if (self.slot_request[s] is None
+                    or self.slot_gen[s] != infl.gens[s]):
+                continue  # stale row: its device counts were 0 anyway
+            r = infl.row_of[s]
             for t in range(int(counts_h[r])):
                 self.slot_frames[s].append(f_host[t, r])
             if not live_h[r]:
                 done.append(self._finish(s))
             elif counts_h[r]:
                 self._notify(s, done=False)
+        return done
+
+    def step(self) -> List[StreamResult]:
+        """Advance every active stream by up to one chunk of frames; returns
+        finished streams.  EOS and budget exhaustion are detected on device
+        — the host does one dispatch and one gather per chunk.
+
+        ``pipelined=True``: one chunk stays in flight — this call
+        dispatches chunk N+1, then fetches chunk N, so the device starts
+        the next chunk's weight reads while the host drains the previous
+        one.  Results arrive one step later than the unpipelined server;
+        an admission step with ``ramp_chunk`` set goes synchronous so the
+        ramp's time-to-first-audio win is preserved."""
+        done: List[StreamResult] = self._finished_at_submit
+        self._finished_at_submit = []
+        if not self.pipelined:
+            if not self.active.any():
+                return done
+            return done + self._collect(self._dispatch())
+        sync_ramp = bool(self._pending_f0) and self.ramp_chunk
+        if sync_ramp and self._inflight is not None:
+            done += self._collect(self._inflight)
+            self._inflight = None
+        new = self._dispatch() if self.active.any() else None
+        if sync_ramp and new is not None:
+            done += self._collect(new)
+            new = None
+        if self._inflight is not None:
+            done += self._collect(self._inflight)
+        self._inflight = new
+        if self._inflight is not None and not self.active.any():
+            # everything died in the chunk just collected — the freshly
+            # dispatched chunk is trivial (its while_loop exits at once);
+            # drain it so `active` empty ⇒ nothing in flight (the
+            # invariant run()/daemon loops poll on)
+            done += self._collect(self._inflight)
+            self._inflight = None
         return done
 
     def _notify(self, slot: int, done: bool) -> None:
@@ -1146,7 +1241,16 @@ class BatchedServer:
         carries ``request_id``.  The reference has no serving path at
         all, let alone cancellation (src/csm/generator.py runs each
         request to completion synchronously).
+
+        Pipelined servers drain the in-flight chunk first (its frames
+        still belong to their requests); a request that FINISHED inside
+        that chunk is no longer cancellable — its result surfaces
+        through the next ``step()`` as a normal completion and None is
+        returned here.
         """
+        if self._inflight is not None:
+            self._finished_at_submit.extend(self._collect(self._inflight))
+            self._inflight = None
         for slot in np.nonzero(self.active)[0]:
             s = int(slot)
             req = self.slot_request[s]

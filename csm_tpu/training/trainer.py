@@ -330,6 +330,46 @@ class CSMTrainer:
             self.load_checkpoint(resume_from)
 
         last_loss = float("nan")
+        # Metrics are fetched with a ONE-STEP lag: step N's device
+        # scalars are read while step N+1 is already dispatched, so the
+        # chip never idles on the host metrics round-trip (a per-step
+        # ``float(loss)`` would serialize host batch prep against device
+        # compute — JAX dispatch is async until something is fetched).
+        pending = None  # (global_step, epoch, device metrics of that step)
+
+        def drain(p):
+            nonlocal last_loss, pending
+            gs, ep, m = p
+            m = jax.device_get(m)
+            last_loss = float(m["loss"])
+            if not np.isfinite(last_loss):
+                # NaN/Inf guard (the reference detects and repairs
+                # non-finite losses, src/csm/training/utils.py:347-349,
+                # mlx_trainer.py:817-821); with a deterministic stack a
+                # non-finite loss is a data/LR bug — fail loudly.  The
+                # lagged fetch means the saved state may be up to one
+                # step PAST the first non-finite loss.
+                self.save_checkpoint("nonfinite_abort")
+                raise FloatingPointError(
+                    f"non-finite loss {last_loss} at step {gs} "
+                    f"(state saved; may include one later step)"
+                )
+            self.metrics.log(
+                gs,
+                epoch=ep,
+                loss=m["loss"],
+                semantic_loss=m["semantic_loss"],
+                acoustic_loss=m["acoustic_loss"],
+                grad_norm=m["grad_norm"],
+            )
+            if gs % 10 == 0:
+                self.logger.info(
+                    f"epoch {ep} step {gs} "
+                    f"loss {last_loss:.4f} "
+                    f"sem {float(m['semantic_loss']):.4f} "
+                    f"ac {float(m['acoustic_loss']):.4f}"
+                )
+
         for epoch in range(self.epoch, epochs):
             self.epoch = epoch
             t_epoch = time.time()
@@ -341,33 +381,18 @@ class CSMTrainer:
                 metrics = self._run_step(key, batch)
                 self.global_step += 1
                 n_batches += 1
-                last_loss = float(metrics["loss"])
-                if not np.isfinite(last_loss):
-                    # NaN/Inf guard (the reference detects and repairs
-                    # non-finite losses, src/csm/training/utils.py:347-349,
-                    # mlx_trainer.py:817-821); with a deterministic stack a
-                    # non-finite loss is a data/LR bug — fail loudly.
-                    self.save_checkpoint("nonfinite_abort")
-                    raise FloatingPointError(
-                        f"non-finite loss {last_loss} at step "
-                        f"{self.global_step} (state saved)"
-                    )
-
-                self.metrics.log(
-                    self.global_step,
-                    epoch=epoch,
-                    loss=metrics["loss"],
-                    semantic_loss=metrics["semantic_loss"],
-                    acoustic_loss=metrics["acoustic_loss"],
-                    grad_norm=metrics["grad_norm"],
+                prev, pending = pending, (self.global_step, epoch, metrics)
+                if prev is not None:
+                    drain(prev)
+                at_boundary = (
+                    (val_dataset is not None
+                     and self.global_step % val_every == 0)
+                    or self.global_step % save_every == 0
                 )
-                if self.global_step % 10 == 0:
-                    self.logger.info(
-                        f"epoch {epoch} step {self.global_step} "
-                        f"loss {last_loss:.4f} "
-                        f"sem {float(metrics['semantic_loss']):.4f} "
-                        f"ac {float(metrics['acoustic_loss']):.4f}"
-                    )
+                if at_boundary and pending is not None:
+                    # catch up before validating/saving (infrequent)
+                    p, pending = pending, None
+                    drain(p)
                 if val_dataset is not None and self.global_step % val_every == 0:
                     val_loss = self.validate(val_dataset, batch_size, seed=seed)
                     if val_loss < self.best_val_loss:
@@ -375,6 +400,9 @@ class CSMTrainer:
                         self.save_checkpoint("best")
                 if self.global_step % save_every == 0:
                     self.save_checkpoint(f"step_{self.global_step}")
+            if pending is not None:  # epoch boundary: catch up
+                p, pending = pending, None
+                drain(p)
 
             dt = time.time() - t_epoch
             self.logger.info(
@@ -396,8 +424,10 @@ class CSMTrainer:
                 params, jax.random.fold_in(jax.random.key(seed), i),
                 self._place_batch(batch),
             )
-            losses.append(float(m["loss"]))
-        val = float(np.mean(losses)) if losses else float("nan")
+            losses.append(m["loss"])  # device handle: fetch once below
+        val = (
+            float(np.mean(jax.device_get(losses))) if losses else float("nan")
+        )
         self.logger.info(f"validation loss {val:.4f}")
         return val
 

@@ -21,11 +21,13 @@ def req(rid, T=48, max_frames=63):
 argv = sys.argv[1:]
 wdtype = "int8" if "--int8" in argv else "bf16"
 kvdtype = "int8" if "--kv-int8" in argv else "bf16"
+pipelined = "--pipelined" in argv
 slot_args = [int(a) for a in argv if not a.startswith("--")]
 for n_slots in slot_args or (1, 8, 16, 32, 64):
     server = BatchedServer(params, args, n_slots=n_slots, max_seq_len=1024,
                            temperature=0.9, topk=50, chunk_size=8,
-                           weight_dtype=wdtype, kv_dtype=kvdtype)
+                           weight_dtype=wdtype, kv_dtype=kvdtype,
+                           pipelined=pipelined)
     _ = server.run([req(999, max_frames=3)])  # warm the compile cache
     server.reset()
     reqs = [req(i) for i in range(n_slots * 2)]

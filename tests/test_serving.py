@@ -425,3 +425,87 @@ def test_ramp_chunk_parity_and_first_gather(tiny):
 
     with pytest.raises(ValueError):
         BatchedServer(params, args, ramp_chunk=6, **kw)
+
+
+def test_pipelined_matches_unpipelined_argmax(tiny):
+    """pipelined=True under churn (re-admission, mixed lengths/budgets):
+    every request decodes exactly the tokens the synchronous server
+    produces (argmax — the chunk-in-flight bookkeeping must be invisible
+    to each stream)."""
+    args, params = tiny
+    kw = dict(n_slots=2, max_seq_len=128, temperature=1.0, topk=1,
+              compute_dtype=jnp.float32, chunk_size=3)
+    mk = lambda: [
+        make_request(args, 5 + (i % 3), rid=i, seed=i + 1,
+                     max_frames=3 + (i % 4))
+        for i in range(6)  # 6 requests over 2 slots: forced re-admission
+    ]
+    sync = BatchedServer(params, args, **kw)
+    pipe = BatchedServer(params, args, pipelined=True, **kw)
+    rs, _ = sync.run(mk())
+    rp, _ = pipe.run(mk())
+    assert {r.request_id for r in rp} == {r.request_id for r in rs}
+    # invariant: once drained, nothing is left in flight
+    assert pipe._inflight is None and not pipe.active.any()
+    bs = {r.request_id: r for r in rs}
+    for r in rp:
+        np.testing.assert_array_equal(r.frames, bs[r.request_id].frames)
+
+
+def test_pipelined_bitexact_when_no_churn(tiny):
+    """With equal budgets (no mid-run capacity change) the pipelined
+    server's sampled tokens are BIT-equal at temperature>0: the key
+    schedule (step_count, row) is identical to the synchronous server."""
+    args, params = tiny
+    kw = dict(n_slots=2, max_seq_len=128, temperature=0.8, topk=5,
+              compute_dtype=jnp.float32, chunk_size=4)
+    mk = lambda: [make_request(args, 6, rid=i, seed=i + 1, max_frames=8)
+                  for i in range(2)]
+    rs, _ = BatchedServer(params, args, **kw).run(mk())
+    rp, _ = BatchedServer(params, args, pipelined=True, **kw).run(mk())
+    bs = {r.request_id: r for r in rs}
+    for r in rp:
+        np.testing.assert_array_equal(r.frames, bs[r.request_id].frames)
+
+
+def test_pipelined_streaming_and_cancel(tiny):
+    """Streaming callbacks under pipelining: done=True exactly once per
+    request; cancel() drains the in-flight chunk, kills the slot, and
+    the survivor still matches its solo decode."""
+    args, params = tiny
+    server = BatchedServer(params, args, n_slots=2, max_seq_len=128,
+                           temperature=1.0, topk=1,
+                           compute_dtype=jnp.float32, chunk_size=2,
+                           pipelined=True)
+    events = []
+    r0 = make_request(args, 6, rid=0, seed=1, max_frames=20)
+    r0.on_frames = lambda rid, new, done: events.append((rid, done))
+    r1 = make_request(args, 6, rid=1, seed=2, max_frames=8)
+    server.submit(r0)
+    server.submit(r1)
+    server.step()  # chunk 1 in flight
+    server.step()  # chunk 2 in flight, chunk 1 collected
+    res = server.cancel(0)
+    assert res is not None and res.cancelled
+    assert server._inflight is None  # drained at cancel
+    assert [e for e in events if e[1]] == [(0, True)]
+    results, _ = server.run([])
+    by_id = {r.request_id: r for r in results}
+    assert set(by_id) == {1}
+    np.testing.assert_array_equal(by_id[1].frames, solo_frames(args, params, r1))
+
+
+def test_pipelined_ramp_chunk_keeps_first_gather(tiny):
+    """pipelined + ramp_chunk: the admission step goes synchronous, so
+    first frames still land after <= ramp_chunk decoded frames."""
+    args, params = tiny
+    server = BatchedServer(params, args, n_slots=2, max_seq_len=128,
+                           temperature=1.0, topk=1,
+                           compute_dtype=jnp.float32, chunk_size=6,
+                           ramp_chunk=2, pipelined=True)
+    server.submit(make_request(args, 6, rid=0, seed=3, max_frames=12))
+    server.step()
+    n1 = len(server.slot_frames[0])
+    assert 1 <= n1 <= 3  # f0 + at most ramp_chunk frames, fetched NOW
+    server.run([])
+    assert server.warmup() > 0  # warmup drops in-flight chunks safely
