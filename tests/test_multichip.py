@@ -397,3 +397,54 @@ print("MULTI-LORA-MESH-OK")
 """
     )
     assert "MULTI-LORA-MESH-OK" in out
+
+
+@pytest.mark.multichip
+def test_sharded_pipelined_serving_matches_single_device():
+    """pipelined=True on a data=4 mesh: the chunk-in-flight bookkeeping
+    (dispatch N+1 before collecting N) must be invisible per stream —
+    argmax streams equal the synchronous UNSHARDED server's under churn
+    (6 requests over 4 slots force re-admission)."""
+    out = _run_cpu8(
+        """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.mesh import make_mesh
+from csm_tpu.serving import BatchedServer, StreamRequest
+
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(0), args, jnp.float32)
+def reqs():
+    rng = np.random.default_rng(3)
+    out = []
+    for rid in range(6):
+        T = 5 + rid
+        tokens = np.zeros((T, K + 1), np.int32)
+        mask = np.zeros((T, K + 1), bool)
+        tokens[:, -1] = rng.integers(1, args.text_vocab_size, T)
+        mask[:, -1] = True
+        out.append(StreamRequest(tokens, mask, max_frames=3 + rid % 3,
+                                 request_id=rid))
+    return out
+kw = dict(n_slots=4, max_seq_len=128, temperature=1.0, topk=1,
+          compute_dtype=jnp.float32, chunk_size=2)
+srv1 = BatchedServer(params, args, **kw)
+r1, _ = srv1.run(reqs())
+
+mesh = make_mesh(jax.devices()[:4], model_parallel=1)
+srv8 = BatchedServer(params, args, mesh=mesh, pipelined=True, **kw)
+r8, _ = srv8.run(reqs())
+assert srv8._inflight is None and not srv8.active.any()
+
+by1 = {r.request_id: r.frames for r in r1}
+by8 = {r.request_id: r.frames for r in r8}
+assert set(by1) == set(by8) == set(range(6))
+for rid in by1:
+    np.testing.assert_array_equal(by1[rid], by8[rid])
+print("PIPELINED-MESH-OK")
+"""
+    )
+    assert "PIPELINED-MESH-OK" in out
