@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--resume-from", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--async-checkpointing", action="store_true",
+                   help="non-blocking checkpoint saves (orbax async "
+                        "writer; latest pointer commits after the "
+                        "atomic rename)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches collated ahead on a host thread "
+                        "(0 disables)")
     add_parallel_args(p)
     p.add_argument("--generate-samples", action="store_true")
     p.add_argument("--sample-prompt", type=str, default="Hello from CSM.")
@@ -118,6 +125,8 @@ def make_lora_trainer(args):
                     else "int8" if args.int8_base else None),
         semantic_weight=args.semantic_weight,
         acoustic_weight=args.acoustic_weight,
+        async_checkpointing=args.async_checkpointing,
+        prefetch_depth=args.prefetch,
     )
     if args.tiny_test:
         import jax

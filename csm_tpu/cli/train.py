@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--resume-from", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--async-checkpointing", action="store_true",
+                   help="non-blocking checkpoint saves: the step loop "
+                        "resumes once arrays are snapshotted; disk writes "
+                        "+ the latest pointer commit in the background")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches collated ahead on a host thread "
+                        "(0 disables)")
     add_parallel_args(p)
     # Samples
     p.add_argument("--generate-samples", action="store_true")
@@ -221,6 +228,8 @@ def main(argv=None) -> int:
             remat=False,
             parallel=parallel,
             param_dtype=dt[args.param_dtype],
+            async_checkpointing=args.async_checkpointing,
+            prefetch_depth=args.prefetch,
         )
     else:
         trainer = CSMTrainer(
@@ -235,6 +244,8 @@ def main(argv=None) -> int:
             weight_decay=args.weight_decay,
             parallel=parallel,
             param_dtype=dt[args.param_dtype],
+            async_checkpointing=args.async_checkpointing,
+            prefetch_depth=args.prefetch,
         )
 
     text_tok, audio_tok = build_tokenizers(args, trainer.args)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Optional
 
 import jax
@@ -32,6 +33,42 @@ def _ckpt_path(ckpt_dir: str, name: str) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), name)
 
 
+def _state_tree(state: TrainState) -> dict:
+    tree = {"params": state.params}
+    if state.opt_state is not None and jax.tree.leaves(state.opt_state):
+        tree["opt_state"] = state.opt_state
+    return tree
+
+
+def _commit_meta(
+    ckpt_dir: str,
+    name: str,
+    step: int,
+    args: ModelArgs,
+    epoch: int,
+    global_step: int,
+    loss: float,
+) -> None:
+    """Write meta.json + advance the ``latest`` pointer.
+
+    Must run only once the checkpoint directory is final (orbax renames
+    its temp dir atomically on commit) — ``latest`` must never point at
+    a partial checkpoint.
+    """
+    path = _ckpt_path(ckpt_dir, name)
+    meta = {
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+        "step": int(step),
+        "loss": float(loss),
+        "model_args": json.loads(args.to_json()),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(os.path.abspath(ckpt_dir), LATEST_FILE), "w") as f:
+        json.dump({"latest": name}, f)
+
+
 def save_checkpoint(
     ckpt_dir: str,
     name: str,
@@ -44,23 +81,82 @@ def save_checkpoint(
     """Write a named checkpoint and update the ``latest`` pointer."""
     path = _ckpt_path(ckpt_dir, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tree = {"params": state.params}
-    if state.opt_state is not None and jax.tree.leaves(state.opt_state):
-        tree["opt_state"] = state.opt_state
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, tree, force=True)
-    meta = {
-        "epoch": int(epoch),
-        "global_step": int(global_step),
-        "step": int(state.step),
-        "loss": float(loss),
-        "model_args": json.loads(args.to_json()),
-    }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    with open(os.path.join(os.path.abspath(ckpt_dir), LATEST_FILE), "w") as f:
-        json.dump({"latest": name}, f)
+        ckptr.save(path, _state_tree(state), force=True)
+    _commit_meta(ckpt_dir, name, int(state.step), args, epoch, global_step, loss)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves for the training loop.
+
+    ``save`` returns as soon as orbax has snapshotted the device arrays
+    to host memory; serialization and disk writes proceed on background
+    threads while training continues (the reference blocks the step loop
+    for the full ``torch.save``, src/csm/training/trainer.py:289-355).
+    Crash safety: orbax materializes the final directory with an atomic
+    rename, and meta.json + the ``latest`` pointer are committed only
+    AFTER that rename — an interrupted save can never leave ``latest``
+    dangling at a partial checkpoint; resume falls back to the previous
+    one.  One save is in flight at a time (a new ``save`` joins the
+    previous); a failed background save re-raises at the next
+    ``save``/``wait``.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(
+        self,
+        ckpt_dir: str,
+        name: str,
+        state: TrainState,
+        args: ModelArgs,
+        epoch: int = 0,
+        global_step: int = 0,
+        loss: float = 0.0,
+    ) -> str:
+        self.wait()  # one in flight; surfaces a prior failure
+        path = _ckpt_path(ckpt_dir, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        step = int(state.step)  # fetch the scalar before going async
+        self._ckptr.save(path, _state_tree(state), force=True)
+
+        def _finalize():
+            try:
+                self._ckptr.wait_until_finished()
+                _commit_meta(
+                    ckpt_dir, name, step, args, epoch, global_step, loss
+                )
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_finalize, daemon=True, name=f"ckpt-commit-{name}"
+        )
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is fully committed."""
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from e
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+    def __enter__(self) -> "AsyncCheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

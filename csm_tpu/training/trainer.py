@@ -25,7 +25,7 @@ import numpy as np
 from csm_tpu.models.config import ModelArgs, csm_1b_args
 from csm_tpu.training import checkpoint as ckpt
 from csm_tpu.training import lora as lora_mod
-from csm_tpu.training.dataset_utils import as_batches
+from csm_tpu.training.dataset_utils import as_batches, prefetch_batches
 from csm_tpu.training.optimizer import (
     TrainState,
     init_train_state,
@@ -81,6 +81,8 @@ class CSMTrainer:
         log_file: Optional[str] = None,
         parallel: Optional["ParallelConfig"] = None,
         param_dtype=jnp.float32,
+        async_checkpointing: bool = False,
+        prefetch_depth: int = 2,
     ):
         """``parallel`` — optional csm_tpu.parallel.mesh.ParallelConfig:
         shard the train state over a device mesh (TP+FSDP on a
@@ -127,6 +129,14 @@ class CSMTrainer:
         self.epoch = 0
         self.global_step = 0
         self.best_val_loss = float("inf")
+        # non-blocking checkpoint saves (orbax async writer): the step
+        # loop resumes as soon as arrays are snapshotted to host; the
+        # ``latest`` pointer commits only after the atomic rename
+        self.async_checkpointing = async_checkpointing
+        self._ckpt_writer = None
+        # host-side batch collation overlap (training.dataset_utils.
+        # prefetch_batches); 0 disables
+        self.prefetch_depth = prefetch_depth
 
         from csm_tpu.utils.observability import MetricsLogger
 
@@ -374,8 +384,11 @@ class CSMTrainer:
             self.epoch = epoch
             t_epoch = time.time()
             n_batches = 0
-            for batch in as_batches(
-                train_dataset, batch_size, shuffle=True, seed=seed + epoch
+            for batch in prefetch_batches(
+                as_batches(
+                    train_dataset, batch_size, shuffle=True, seed=seed + epoch
+                ),
+                depth=self.prefetch_depth,
             ):
                 key = jax.random.fold_in(jax.random.key(seed), self.global_step)
                 metrics = self._run_step(key, batch)
@@ -412,6 +425,7 @@ class CSMTrainer:
             self.save_checkpoint(f"epoch_{epoch}")
 
         self.save_checkpoint("final")
+        self.wait_for_checkpoints()  # "final" is on disk when train() returns
         return last_loss
 
     def validate(self, val_dataset, batch_size: int = 2, seed: int = 0) -> float:
@@ -434,19 +448,33 @@ class CSMTrainer:
     # ---- checkpointing (reference: utils.py:526-574,864-895) ----
 
     def save_checkpoint(self, name: str) -> str:
-        path = ckpt.save_checkpoint(
-            os.path.join(self.output_dir, "checkpoints"),
-            name,
-            self.state,
-            self.args,
+        kw = dict(
             epoch=self.epoch,
             global_step=self.global_step,
             loss=self.best_val_loss,
         )
-        self.logger.info(f"saved checkpoint {path}")
+        ckpt_dir = os.path.join(self.output_dir, "checkpoints")
+        if self.async_checkpointing:
+            if self._ckpt_writer is None:
+                self._ckpt_writer = ckpt.AsyncCheckpointWriter()
+            path = self._ckpt_writer.save(
+                ckpt_dir, name, self.state, self.args, **kw
+            )
+            self.logger.info(f"saving checkpoint {path} (async)")
+        else:
+            path = ckpt.save_checkpoint(
+                ckpt_dir, name, self.state, self.args, **kw
+            )
+            self.logger.info(f"saved checkpoint {path}")
         return path
 
+    def wait_for_checkpoints(self) -> None:
+        """Block until any in-flight async checkpoint is committed."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
+
     def load_checkpoint(self, path: Optional[str] = None):
+        self.wait_for_checkpoints()  # never restore under an in-flight save
         if path is None or path == "latest":
             path = ckpt.latest_checkpoint(os.path.join(self.output_dir, "checkpoints"))
             if path is None:
