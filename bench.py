@@ -10,8 +10,11 @@ frame generation (backbone step + 31 decoder steps + 32 samples per
 weights (identical compute to trained weights).
 
 Timing hygiene for tunneled rigs (see csm_tpu/utils/transport.py):
-  * one big transport-warmup round-trip first, so no timed region pays
-    the first-small-fetch relay stall;
+  * one big transport-warmup round-trip is started FIRST on a background
+    thread and joined before any timed fetch — param init and the AOT
+    compiles overlap the relay stall (which is pure blocked IO), so no
+    timed region pays the first-fetch relay stall and the wall-clock
+    cost of a degraded relay is its stall MINUS the compile time;
   * device arrays are jit ARGUMENTS, never closures (a closed-over
     device array becomes an MLIR constant fetched device->host at trace
     time);
@@ -46,6 +49,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import threading
+
     from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_decode, mimi_init
     from csm_tpu.models import csm
     from csm_tpu.models.config import csm_1b_args
@@ -53,7 +58,15 @@ def main():
     from csm_tpu.utils.transport import warm_transport
 
     log(f"devices: {jax.devices()}")
-    warm_transport(verbose=True)
+    # The warmup round-trip can stall minutes when the relay is degraded
+    # (BENCH_r03: 871 s) — it is pure blocked IO, so overlap it with
+    # param init + compile on a background thread and join before the
+    # first timed fetch.
+    t_warm0 = time.time()
+    warm_thread = threading.Thread(
+        target=warm_transport, kwargs={"verbose": True}, daemon=True
+    )
+    warm_thread.start()
 
     args = csm_1b_args()
     dtype = jnp.bfloat16
@@ -98,9 +111,13 @@ def main():
 
     t0 = time.time()
     res = gen(params, jax.random.key(2), tokens, mask, lens)
-    audio = dec(mimi_params, res.frames.transpose(0, 2, 1))
-    np.asarray(audio)  # fetch = proof of completion
+    audio_dev = dec(mimi_params, res.frames.transpose(0, 2, 1))
+    jax.block_until_ready(audio_dev)  # compiled + executed, nothing fetched yet
     log(f"compile+first run: {time.time() - t0:.1f}s")
+    warm_thread.join()  # the first FETCH below must ride the warm path
+    log(f"transport warm after {time.time() - t_warm0:.1f}s wall "
+        f"(overlapped with init+compile)")
+    np.asarray(audio_dev)  # fetch = proof of completion
 
     # Timed runs (fetch the waveform each run so timing includes real
     # completion, not just queue acceptance).

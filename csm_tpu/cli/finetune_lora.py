@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speaker-id", type=int, default=0)
     p.add_argument("--val-split", type=float, default=0.1)
     p.add_argument("--context-turns", type=int, default=2)
+    p.add_argument("--conversational", action="store_true",
+                   help="group context windows by source recording "
+                        "(see csm-train)")
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--model-path", type=str, default=None)
     p.add_argument("--mimi-path", type=str, default=None)
@@ -125,8 +128,11 @@ def make_lora_trainer(args):
                     else "int8" if args.int8_base else None),
         semantic_weight=args.semantic_weight,
         acoustic_weight=args.acoustic_weight,
-        async_checkpointing=args.async_checkpointing,
-        prefetch_depth=args.prefetch,
+        # getattr: sibling CLIs (finetune_lora_multi) build per-speaker
+        # SimpleNamespace views of their own parser's args — defaults here
+        # keep shared-parser drift from crashing them.
+        async_checkpointing=getattr(args, "async_checkpointing", False),
+        prefetch_depth=getattr(args, "prefetch", 2),
     )
     if args.tiny_test:
         import jax

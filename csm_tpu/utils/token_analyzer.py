@@ -90,6 +90,85 @@ def analyze_sampler(
     }
 
 
+def markdown_report(analyses: Dict[str, Dict], title: str = "Token-distribution parity") -> str:
+    """Render analyses (name -> analyze_sampler output) as a markdown
+    report with a histogram table — the inspectable artifact behind the
+    parity claim (reference emits matplotlib histograms + Counter dumps,
+    src/csm/mlx/token_analyzer.py:16+; this is the no-display analogue)."""
+    lines = [f"# {title}", ""]
+    for name, a in analyses.items():
+        lines += [
+            f"## {name}",
+            "",
+            f"- samples: {a['n_samples']}",
+            f"- distribution similarity (1 − TV): **{a['similarity']:.4f}**",
+            f"- top-10 token overlap: **{a['top10_overlap']:.2f}**",
+            f"- KL(empirical ‖ reference): {a['kl_empirical_vs_reference']:.5f}",
+            "",
+            "| token | count | empirical p | reference p | |",
+            "|---|---|---|---|---|",
+        ]
+        n = a["n_samples"]
+        ref = a.get("reference_probs")
+        for tok, cnt in a["top_counts"]:
+            p_emp = cnt / n
+            p_ref = float(ref[tok]) if ref is not None else float("nan")
+            bar = "█" * max(1, round(p_emp * 40))
+            lines.append(
+                f"| {tok} | {cnt} | {p_emp:.4f} | {p_ref:.4f} | `{bar}` |"
+            )
+        lines.append("")
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    """``python -m csm_tpu.utils.token_analyzer`` — run the sampling-parity
+    analysis on canned logit shapes (peaked / flat / heavy-tail) and write
+    a markdown report (reference: README.md:217 ">95% distribution
+    similarity" tooling)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--output", type=str, default="token_parity_report.md")
+    p.add_argument("--n-samples", type=int, default=8192)
+    p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--temperature", type=float, default=0.9)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    rng = np.random.default_rng(args.seed)
+    vocab = 2051  # audio codebook size
+    cases = {
+        "flat (uniform-ish logits)": rng.normal(0, 0.1, vocab),
+        "peaked (one dominant token)": np.where(
+            np.arange(vocab) == 777, 6.0, rng.normal(0, 1.0, vocab)
+        ),
+        "heavy-tail (N(0,2) logits)": rng.normal(0, 2.0, vocab),
+    }
+    analyses = {}
+    for name, logits in cases.items():
+        a = analyze_sampler(
+            logits, topk=args.topk, temperature=args.temperature,
+            n_samples=args.n_samples, seed=args.seed,
+        )
+        a["reference_probs"] = np.asarray(
+            topk_probs(jnp.asarray(logits, jnp.float32), args.topk,
+                       args.temperature), np.float64,
+        )
+        analyses[name] = a
+        print(f"{name}: similarity {a['similarity']:.4f} "
+              f"top10 {a['top10_overlap']:.2f}")
+    report = markdown_report(
+        analyses,
+        title=f"Token-distribution parity (topk={args.topk}, "
+              f"T={args.temperature}, n={args.n_samples})",
+    )
+    with open(args.output, "w") as f:
+        f.write(report + "\n")
+    print(f"wrote {args.output}")
+    return 0
+
+
 def compare_samplers(
     sample_a: Callable[[jax.Array], np.ndarray],
     sample_b: Callable[[jax.Array], np.ndarray],
@@ -107,3 +186,7 @@ def compare_samplers(
         "similarity": distribution_similarity(ha, hb),
         "top10_overlap": top_token_overlap(ha, hb),
     }
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,19 +1,31 @@
 """Host<->device transport warmup for tunneled TPU attachments.
 
 Some TPU attachments route host<->device traffic through a relay (e.g. a
-tunneled single-chip dev rig).  Measured behavior on such rigs:
+tunneled single-chip dev rig).  Measured behavior on such rigs (probed
+round 4, 2026-08-20; earlier rounds' "a large first fetch is always
+~2 s" model was WRONG — falsified by BENCH_r03's 871 s warmup):
 
-  * the FIRST small device->host fetch in a process stalls 20-400 s
-    (relay flush/handshake with a pathological backoff);
-  * a LARGE first fetch (>= a few MB) completes in ~2 s and unlocks the
-    fast path for every subsequent transfer, however small;
+  * the relay holds MACHINE-WIDE warm state; the FIRST device->host
+    fetch after it lapses pays a reconnect stall, every later fetch
+    (and immediately-following processes: measured 1.8 s, and still
+    1.5 s after a 300 s idle gap) rides warm — the lapse needs
+    extended idle (observed stalls followed >=30 min without TPU
+    traffic) or a relay-side mode change;
+  * the stall is bimodal by relay mode, NOT by fetch size — healthy
+    relay: ~2 s regardless of size; degraded relay: minutes regardless
+    of size (same hour, measured 233 s for a 256 KB first fetch and
+    127 s for a 16 MB one);
+  * once unlocked, all sizes are fast (1 MB 0.1 s, 64 MB 2.1 s);
   * device arrays embedded as compile-time constants (module-level
-    ``jnp.float32(...)`` etc.) trigger exactly that slow small fetch at
-    trace time — which is why this repo keeps module constants as numpy.
+    ``jnp.float32(...)`` etc.) trigger the first fetch at TRACE time —
+    which is why this repo keeps module constants as numpy.
 
-``warm_transport()`` performs one big computed round-trip up front so
-interactive CLIs and benchmarks never hit the slow path mid-run.  It is a
-no-op (a few ms) on directly-attached TPUs and CPU.
+``warm_transport()`` front-loads that one stall so it never lands inside
+a timed region or mid-run; ``warm_transport_async()`` overlaps it with
+model load + compile (the stall is pure blocked IO).  The stall's
+DURATION is the relay's, not this code's — on a degraded relay the
+process start-to-first-audio cost is environmental.  No-op (a few ms) on
+directly-attached TPUs and CPU.
 """
 
 from __future__ import annotations

@@ -9,6 +9,9 @@ hangs the axon plugin, so the virtual mesh gets its own process, exactly
 how the driver runs ``__graft_entry__.dryrun_multichip``.
 """
 
+import os
+import time
+
 import jax
 
 # Parity tests compare against float64-derived oracles; keep matmuls in
@@ -21,3 +24,24 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Rig latency probe: ONE measured device round-trip at session start.
+# On a tunneled rig the first fetch after relay idle-decay stalls minutes
+# when the relay is degraded (measured 127-233 s; see
+# csm_tpu/utils/transport.py) — doing it here (a) warms the relay once
+# for every test and TPU subprocess in this run, and (b) measures the
+# rig's degradation so timeout-sensitive tests scale instead of going
+# red on slow days (tests/rig.py reads the env var).
+_t0 = time.time()
+try:
+    import numpy as _np
+
+    from jax import numpy as _jnp
+
+    _np.asarray(jax.jit(lambda: _jnp.ones((2048, 2048)) * 2.0)())
+    _rig_stall = time.time() - _t0
+except Exception:  # CPU-only or broken platform: no scaling
+    _rig_stall = 0.0
+os.environ.setdefault(
+    "CSM_TPU_RIG_STALL_S", str(round(_rig_stall, 1))
+)

@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+from rig import scaled
+
 from csm_tpu.cli import (
     benchmark_lora as cli_bench_lora,
     benchmark_tpu as cli_bench_tpu,
@@ -315,7 +317,7 @@ def test_serve_follow_admits_incrementally(tmp_path):
             {"id": "fb", "text": "second arrives later",
              "max_audio_length_ms": 400}) + "\n")
         # communicate() flushes + closes stdin (EOF) and drains stdout
-        stdout = proc.communicate(timeout=900)[0]
+        stdout = proc.communicate(timeout=scaled(900))[0]
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -355,7 +357,7 @@ def test_serve_http_endpoint(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     try:
-        for _ in range(600):  # model load + compile
+        for _ in range(scaled(600)):  # model load + compile
             _time.sleep(1)
             assert proc.poll() is None, proc.communicate()[0]
             try:
@@ -376,7 +378,7 @@ def test_serve_http_endpoint(tmp_path):
             req = urllib.request.Request(
                 base + "/generate", data=body,
                 headers={"Content-Type": "application/json"})
-            with urllib.request.urlopen(req, timeout=600) as r:
+            with urllib.request.urlopen(req, timeout=scaled(600)) as r:
                 results[name] = (r.status, r.headers["Content-Type"],
                                  int(r.headers["X-Frames"]), r.read())
 
@@ -387,7 +389,7 @@ def test_serve_http_endpoint(tmp_path):
         for t in threads:
             t.start()
         for t in threads:
-            t.join(timeout=900)
+            t.join(timeout=scaled(900))
         assert set(results) == {"a", "b"}
         for status, ctype, n_frames, wav in results.values():
             assert status == 200 and ctype == "audio/wav"
@@ -408,7 +410,7 @@ def test_serve_http_endpoint(tmp_path):
 
         urllib.request.urlopen(
             urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
-        stdout = proc.communicate(timeout=120)[0]
+        stdout = proc.communicate(timeout=scaled(120))[0]
         assert proc.returncode == 0, stdout
         assert "Served 2 requests" in stdout, stdout
     finally:
@@ -439,7 +441,7 @@ def test_serve_http_stream(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     try:
-        for _ in range(600):
+        for _ in range(scaled(600)):
             _time.sleep(1)
             assert proc.poll() is None, proc.communicate()[0]
             try:
@@ -455,7 +457,7 @@ def test_serve_http_stream(tmp_path):
         req = urllib.request.Request(
             base + "/generate", data=body,
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
+        with urllib.request.urlopen(req, timeout=scaled(600)) as r:
             assert r.status == 200
             assert r.headers["Content-Type"].startswith("audio/L16")
             chunks = []
@@ -472,7 +474,7 @@ def test_serve_http_stream(tmp_path):
 
         urllib.request.urlopen(
             urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
-        stdout = proc.communicate(timeout=120)[0]
+        stdout = proc.communicate(timeout=scaled(120))[0]
         assert proc.returncode == 0, stdout
     finally:
         if proc.poll() is None:
@@ -504,7 +506,7 @@ def test_serve_http_stream_disconnect_cancels(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     try:
-        for _ in range(600):
+        for _ in range(scaled(600)):
             _time.sleep(1)
             assert proc.poll() is None, proc.communicate()[0]
             try:
@@ -519,7 +521,7 @@ def test_serve_http_stream_disconnect_cancels(tmp_path):
         # responses, and we need to hang up abruptly mid-stream
         body = _json.dumps({"text": "very long request",
                             "max_audio_length_ms": 10_000}).encode()
-        s = socket.create_connection(("127.0.0.1", port), timeout=600)
+        s = socket.create_connection(("127.0.0.1", port), timeout=scaled(600))
         s.sendall(
             b"POST /generate HTTP/1.1\r\nHost: t\r\n"
             b"Content-Type: application/json\r\n"
@@ -552,13 +554,13 @@ def test_serve_http_stream_disconnect_cancels(tmp_path):
         req = urllib.request.Request(
             base + "/generate", data=body,
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
+        with urllib.request.urlopen(req, timeout=scaled(600)) as r:
             assert r.status == 200
             assert len(r.read()) > 0
 
         urllib.request.urlopen(
             urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
-        stdout = proc.communicate(timeout=120)[0]
+        stdout = proc.communicate(timeout=scaled(120))[0]
         assert proc.returncode == 0, stdout
     finally:
         if proc.poll() is None:
@@ -670,14 +672,14 @@ def test_serve_http_adapters_hot_reload(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
 
-    def post(path, obj, timeout=600):
+    def post(path, obj, timeout=scaled(600)):
         req = urllib.request.Request(
             base + path, data=_json.dumps(obj).encode(),
             headers={"Content-Type": "application/json"})
         return urllib.request.urlopen(req, timeout=timeout)
 
     try:
-        for _ in range(600):
+        for _ in range(scaled(600)):
             _time.sleep(1)
             assert proc.poll() is None, proc.communicate()[0]
             try:
@@ -713,7 +715,7 @@ def test_serve_http_adapters_hot_reload(tmp_path):
 
         urllib.request.urlopen(
             urllib.request.Request(base + "/shutdown", data=b""), timeout=60)
-        stdout = proc.communicate(timeout=120)[0]
+        stdout = proc.communicate(timeout=scaled(120))[0]
         assert proc.returncode == 0, stdout
     finally:
         if proc.poll() is None:

@@ -131,6 +131,38 @@ def test_contextual_examples():
     assert [e.text for e in exs[4]["context"]] == ["turn 2", "turn 3"]
 
 
+def test_conversational_examples_never_cross_files():
+    """--conversational contract (reference csm-train-mlx
+    src/csm/cli/train_mlx.py:627-669): context windows stay within one
+    source recording."""
+    mk = lambda i, src: TrainingExample(
+        f"turn {i}", sine(1.0), 0, metadata={"source_file": src}
+    )
+    conv = [mk(0, "a.wav"), mk(1, "a.wav"), mk(2, "a.wav"),
+            mk(3, "b.wav"), mk(4, "b.wav")]
+    gen = ContextualExampleGenerator(max_context_turns=3)
+
+    exs = gen.create_conversational_examples(conv)
+    assert len(exs) == len(conv)
+    by_text = {e["target"].text: e for e in exs}
+    for e in exs:
+        src = e["target"].metadata["source_file"]
+        assert all(c.metadata["source_file"] == src for c in e["context"])
+    assert by_text["turn 3"]["context"] == []  # new file = new conversation
+    assert [c.text for c in by_text["turn 4"]["context"]] == ["turn 3"]
+
+    # contrast: the flat generator DOES cross files (why the flag exists)
+    flat = {e["target"].text: e for e in gen.create_contextual_examples(conv)}
+    assert any(c.metadata["source_file"] == "a.wav"
+               for c in flat["turn 3"]["context"])
+
+    # examples without a source_file never join anyone's context
+    solo = gen.create_conversational_examples(
+        [TrainingExample("x", sine(1.0), 0), TrainingExample("y", sine(1.0), 0)]
+    )
+    assert all(e["context"] == [] for e in solo)
+
+
 # ---- frame packing ----
 
 

@@ -152,6 +152,93 @@ def _loss_of(out: str) -> float:
     return float(line.split()[1])
 
 
+# PP (data, pipe) and SP (data, seq) layouts under the SAME per-process
+# feed: batch rows shard over data only (SP also shards the time dim,
+# within-host), so process_batch_slice(B, mesh) + global_batch_from_local
+# assemble the global batch on any layout — the round-3 verdict's
+# "multi-host PP/SP feed unsupported" item (old trainer.py:256 guard).
+_PP_SP_TRAIN_SNIPPET = """
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_default_matmul_precision", "highest")
+from csm_tpu.models.config import tiny_test_args
+from csm_tpu.models.csm import init_csm_params
+from csm_tpu.parallel.distributed import (
+    initialize, process_batch_slice, global_batch_from_local)
+from csm_tpu.parallel.pipeline import make_pp_mesh, shard_params_pp
+from csm_tpu.parallel.ring_attention import make_sp_mesh
+from csm_tpu.training.losses import Batch
+from csm_tpu.training.optimizer import TrainState, make_optimizer
+from csm_tpu.training.train_step import make_train_step
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pid, nproc = initialize()
+assert len(jax.devices()) == 8
+args = tiny_test_args()
+K = args.audio_num_codebooks
+params = init_csm_params(jax.random.key(3), args, jnp.float32)
+
+rng = np.random.default_rng(0)  # same GLOBAL batch on every process
+B, T = 8, 8
+tokens = np.zeros((B, T, K + 1), np.int32)
+tokens_mask = np.zeros((B, T, K + 1), bool)
+targets = np.zeros((B, T, K), np.int32)
+target_mask = np.zeros((B, T), bool)
+tokens[:, : T // 2, -1] = rng.integers(1, args.text_vocab_size, (B, T // 2))
+tokens_mask[:, : T // 2, -1] = True
+audio = rng.integers(0, args.audio_vocab_size, (B, T - T // 2, K))
+tokens[:, T // 2 :, :K] = audio
+tokens_mask[:, T // 2 :, :K] = True
+targets[:, T // 2 - 1 : T - 1] = audio
+target_mask[:, T // 2 - 1 : T - 1] = True
+tx = make_optimizer(params, learning_rate=1e-3)
+
+def local_rows(mesh):
+    start, size = process_batch_slice(B, mesh)
+    return Batch(tokens[start:start+size], tokens_mask[start:start+size],
+                 targets[start:start+size], target_mask[start:start+size])
+
+# ---- pipeline-parallel: (data=4, pipe=2), pipe within a host ----
+mesh = make_pp_mesh(pipeline_parallel=2)
+assert dict(mesh.shape) == {"data": 4, "pipe": 2}
+gbatch = global_batch_from_local(local_rows(mesh), mesh)
+sp = shard_params_pp(params, mesh)
+step = make_train_step(args, tx, compute_dtype=jnp.float32,
+                       pp_mesh=mesh, pp_microbatches=2)
+st = TrainState(sp, jax.jit(tx.init)(sp), jnp.zeros((), jnp.int32))
+st, m = step(st, jax.random.key(7), gbatch)
+print(f"LOSS_PP {float(jax.device_get(m['loss'])):.6f} proc {pid}/{nproc}")
+
+# ---- sequence-parallel: (data=4, seq=2), seq within a host ----
+mesh = make_sp_mesh(seq_parallel=2)
+assert dict(mesh.shape) == {"data": 4, "seq": 2}
+gbatch = global_batch_from_local(local_rows(mesh), mesh, seq_sharded=True)
+rep = NamedSharding(mesh, P())
+rp = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+step = make_train_step(args, tx, compute_dtype=jnp.float32, seq_mesh=mesh)
+st = TrainState(rp, jax.jit(tx.init)(rp), jnp.zeros((), jnp.int32))
+st, m = step(st, jax.random.key(7), gbatch)
+print(f"LOSS_SP {float(jax.device_get(m['loss'])):.6f} proc {pid}/{nproc}")
+"""
+
+
+def _loss_tagged(out: str, tag: str) -> float:
+    line = next(ln for ln in out.splitlines() if ln.startswith(tag + " "))
+    return float(line.split()[1])
+
+
+@pytest.mark.multichip
+def test_two_process_pp_and_sp_feed_matches_single_process():
+    """2 real processes (Gloo), (data, pipe) AND (data, seq) meshes:
+    ownership-aware per-process rows + global_batch_from_local feed the
+    same jitted step — losses match the single-process 8-device oracle."""
+    oracle = _run_cpu8(_PP_SP_TRAIN_SNIPPET)
+    outs = _run_multiproc(_PP_SP_TRAIN_SNIPPET, nproc=2, devices_per_proc=4)
+    for tag in ("LOSS_PP", "LOSS_SP"):
+        ref = _loss_tagged(oracle, tag)
+        for o in outs:
+            assert abs(_loss_tagged(o, tag) - ref) < 1e-3, (tag, o)
+
+
 @pytest.mark.multichip
 def test_two_process_train_step_matches_single_process():
     """jax.distributed.initialize ACTUALLY RUNS with 2 processes (the

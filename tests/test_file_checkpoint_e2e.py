@@ -22,13 +22,15 @@ import sys
 import numpy as np
 import pytest
 
+from rig import scaled
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_cli(argv):
     return subprocess.run(
         [sys.executable, "-m"] + argv,
-        cwd=REPO, capture_output=True, text=True, timeout=900,
+        cwd=REPO, capture_output=True, text=True, timeout=scaled(900),
     )
 
 
