@@ -120,9 +120,12 @@ class CSMTrainer:
         self.args, self.params = self._load_model(model_path, args, params)
         if param_dtype != jnp.float32:
             # bf16 master weights (the 8B-scale memory recipe; gradient
-            # dtype follows — see csm_tpu/training/optimizer.py)
+            # dtype follows — see csm_tpu/training/optimizer.py); integer
+            # leaves (a quantized base's w8/w4p) keep their storage dtype
             self.params = jax.tree.map(
-                lambda x: x.astype(param_dtype), self.params
+                lambda x: x.astype(param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                self.params,
             )
         self.tx = None
         self.state: Optional[TrainState] = None
@@ -596,12 +599,16 @@ class CSMLoRATrainer(CSMTrainer):
                 quantize_csm_params_int4)
 
             # already-quantized base (multi-speaker trainers share ONE
-            # frozen base): reuse it — re-jitting would copy ~1 GiB/speaker
+            # frozen base; the streaming .pt load path below quantizes
+            # during upload): reuse it — re-jitting would copy
+            # ~1 GiB/speaker
             probe = self.params["backbone"]["wq"]
             if quant_base == "int8" and not is_quantized(probe):
                 self.params = jax.jit(quantize_csm_params)(self.params)
             elif quant_base == "int4" and not is_quantized_int4(probe):
                 self.params = jax.jit(quantize_csm_params_int4)(self.params)
+        # NOTE on __init__ order: self.quant_base is set BEFORE
+        # super().__init__, so the _load_model override below sees it.
         self.lora_config = lora_mod.LoRAConfig(
             r=lora_r,
             alpha=lora_alpha,
@@ -620,6 +627,30 @@ class CSMLoRATrainer(CSMTrainer):
             f"{lora_mod.count_params(self.lora_params):,} trainable params "
             f"({eff * 100:.3f}% of base)"
         )
+
+    def _load_model(self, model_path, args, params):
+        if (
+            self.quant_base is not None
+            and model_path is not None
+            and model_path.endswith(".pt")
+        ):
+            # Quantize DURING upload, leaf-by-leaf: "load bf16 then
+            # quantize" needs the full float tree on device first, which
+            # at 8B (~16 GiB bf16) is more than the chip — the whole
+            # point of the quantized-base mode.
+            from csm_tpu.utils.checkpoint_compat import load_torch_checkpoint
+            from csm_tpu.utils.quantize import quantize_csm_params_streaming
+
+            args = args or csm_1b_args()
+            self.logger.info(
+                f"loading torch checkpoint {model_path} "
+                f"(streaming {self.quant_base} quantization)"
+            )
+            host = load_torch_checkpoint(model_path, args)
+            return args, quantize_csm_params_streaming(
+                host, mode=self.quant_base
+            )
+        return super()._load_model(model_path, args, params)
 
     def prepare_optimizer(
         self, max_grad_norm: float = 1.0, accumulation_steps: int = 1, **_ignored

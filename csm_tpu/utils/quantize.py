@@ -155,3 +155,50 @@ def quantize_csm_params_int4(
     for comp in components:
         out[comp] = quantize_transformer_int4(params[comp], group_size)
     return out
+
+
+def quantize_csm_params_streaming(
+    host_params: dict,
+    mode: str = "int8",
+    components=("backbone", "decoder"),
+    layers_per_chunk: int = 2,
+) -> dict:
+    """Device-put + quantize a HOST (numpy) CSM tree WITHOUT ever
+    materializing the full float tree on device.
+
+    The 8B QLoRA load path needs this: the bf16 8B tree is ~16 GiB —
+    more than one v5e chip — so ``load then quantize`` OOMs before the
+    quantizer runs.  Each layer-stacked projection is uploaded and
+    quantized in per-layer-chunk jit calls (the quantizer's f32/int32
+    intermediates bound the transient, not the leaf size); everything
+    else device-puts as-is.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    qfn = {"int8": quantize_weight, "int4": quantize_weight_int4}[mode]
+    out = {}
+    for comp, tree in host_params.items():
+        if comp not in components or not isinstance(tree, dict):
+            out[comp] = jax.tree.map(jnp.asarray, tree)
+            continue
+        ctree = {}
+        for name, w in tree.items():
+            if name not in QUANTIZED_PROJS or getattr(w, "ndim", 0) != 3:
+                ctree[name] = jnp.asarray(w)
+                continue
+            L = w.shape[0]
+            parts, j = [], 0
+            while j < L:
+                c = min(layers_per_chunk, L - j)
+                parts.append(
+                    jax.block_until_ready(jax.jit(qfn)(jnp.asarray(w[j:j + c])))
+                )
+                j += c
+            ctree[name] = (
+                jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+                if len(parts) > 1 else parts[0]
+            )
+            del parts
+        out[comp] = ctree
+    return out

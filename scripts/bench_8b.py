@@ -1,0 +1,246 @@
+"""8B on the real chip — graduate the compile proofs to measured runs.
+
+The round-3 AOT memory analyses said two 8B configurations fit ONE
+16 GiB v5e chip:
+
+  * int4-grouped serving decode (int8 KV, 16 slots, seq 2048): 8.58 GiB
+  * int8-base LoRA train step (r=8 q+v, remat, B=2, T=2048): 10.81 GiB
+
+This script RUNS them with random weights (identical compute to trained
+weights) and reports measured frames/s / step time / MFU.
+
+The 8B bf16 tree (~16 GiB) can never exist on the chip, so weights are
+initialized and quantized PER LEAF inside one jit each (largest
+transient: the (32, 4096, 14336) w1 stack, ~3.5 GiB bf16) — the full
+tree only ever materializes in its quantized form.
+
+Usage:
+  python scripts/bench_8b.py serving   # int4 + int8 KV batched decode
+  python scripts/bench_8b.py lora      # int8-base LoRA train step
+  python scripts/bench_8b.py both
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from csm_tpu.models.config import csm_8b_args
+from csm_tpu.utils.transport import warm_transport
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def init_transformer_quantized(key, cfg, qfn, layers_per_chunk=2):
+    """transformer_init's tree, initialized + quantized in PER-LAYER-CHUNK
+    jit calls: the quantizer's f32/int32 intermediates on a full 8B leaf
+    (e.g. the 3.5 GiB w1 stack) don't all fuse away, so bounding each
+    call to ~2 layers keeps transients in the hundreds of MiB."""
+    E, I, L = cfg.embed_dim, cfg.intermediate_dim, cfg.num_layers
+    D = cfg.head_dim
+    qd, kvd = cfg.num_heads * D, cfg.num_kv_heads * D
+    specs = {
+        "wq": ((L, E, qd), E), "wk": ((L, E, kvd), E),
+        "wv": ((L, E, kvd), E), "wo": ((L, qd, E), qd),
+        "w1": ((L, E, I), E), "w3": ((L, E, I), E), "w2": ((L, I, E), I),
+    }
+    tp = {}
+    for i, (name, (shape, fan)) in enumerate(sorted(specs.items())):
+        parts = []
+        j = 0
+        while j < L:
+            c = min(layers_per_chunk, L - j)
+            f = jax.jit(lambda k, s=(c,) + shape[1:], fi=fan: qfn(
+                (jax.random.normal(k, s, jnp.bfloat16)
+                 / np.sqrt(fi).astype(np.float32))
+            ))
+            parts.append(jax.block_until_ready(
+                f(jax.random.fold_in(jax.random.fold_in(key, i), j))
+            ))
+            j += c
+        tp[name] = (
+            jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+            if len(parts) > 1 else parts[0]
+        )
+        del parts
+    ones = jax.jit(lambda: (
+        jnp.ones((L, E), jnp.bfloat16), jnp.ones((L, E), jnp.bfloat16),
+        jnp.ones((E,), jnp.bfloat16),
+    ))()
+    tp["sa_norm"], tp["mlp_norm"], tp["norm"] = ones
+    return tp
+
+
+def init_8b_quantized(key, args, qfn):
+    """Full CSM tree with backbone/decoder projections quantized by
+    ``qfn``; embeddings / heads / norms bf16 (matches
+    quantize_csm_params* component policy)."""
+    bb, dec = args.backbone, args.decoder
+    kb, kd, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
+    params = {
+        "backbone": init_transformer_quantized(kb, bb, qfn),
+        "decoder": init_transformer_quantized(kd, dec, qfn),
+    }
+    emb = lambda k, shape, fan: jax.block_until_ready(jax.jit(  # noqa: E731
+        lambda kk: (jax.random.normal(kk, shape, jnp.bfloat16)
+                    / np.sqrt(fan).astype(np.float32))
+    )(k))
+    K = args.audio_num_codebooks
+    params["text_embeddings"] = emb(k1, (args.text_vocab_size, bb.embed_dim), bb.embed_dim)
+    params["audio_embeddings"] = emb(
+        k2, (args.audio_vocab_size * K, bb.embed_dim), bb.embed_dim)
+    params["projection"] = emb(k3, (bb.embed_dim, dec.embed_dim), bb.embed_dim)
+    params["codebook0_head"] = emb(
+        k4, (bb.embed_dim, args.audio_vocab_size), bb.embed_dim)
+    params["audio_head"] = emb(
+        k5, (K - 1, dec.embed_dim, args.audio_vocab_size), dec.embed_dim)
+    return params
+
+
+def hbm_used():
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / 1024**3
+    except Exception:
+        return float("nan")
+
+
+def bench_serving():
+    from csm_tpu.serving import BatchedServer, StreamRequest
+    from csm_tpu.utils.quantize import quantize_weight_int4
+
+    args = csm_8b_args()
+    K = args.audio_num_codebooks
+    t0 = time.time()
+    params = init_8b_quantized(jax.random.key(0), args, quantize_weight_int4)
+    log(f"8B int4 params initialized in {time.time() - t0:.1f}s, "
+        f"HBM {hbm_used():.2f} GiB")
+
+    n_slots = 16
+    server = BatchedServer(
+        params, args, n_slots=n_slots, max_seq_len=2048,
+        temperature=0.9, topk=50, chunk_size=8,
+        weight_dtype="int4", kv_dtype="int8", pipelined=True,
+    )
+    del params
+    rng = np.random.default_rng(0)
+
+    def req(rid, T=48, max_frames=63):
+        tokens = np.zeros((T, K + 1), np.int32)
+        mask = np.zeros((T, K + 1), bool)
+        tokens[:, -1] = rng.integers(1, args.text_vocab_size, T)
+        mask[:, -1] = True
+        return StreamRequest(tokens, mask, max_frames=max_frames,
+                             request_id=rid)
+
+    t0 = time.time()
+    _ = server.run([req(999, max_frames=3)])
+    log(f"8B serving warm (compile) in {time.time() - t0:.1f}s, "
+        f"HBM {hbm_used():.2f} GiB")
+    server.reset()
+
+    reqs = [req(i) for i in range(n_slots * 2)]
+    results, stats = server.run(reqs)
+    assert len(results) == len(reqs)
+    out = {
+        "mode": "8b_int4_serving",
+        "n_slots": n_slots, "kv": "int8", "weights": "int4",
+        "requests": len(reqs), "frames": stats["total_frames"],
+        "frames_per_s": round(stats["frames_per_s"], 1),
+        "aggregate_rtf": round(stats["aggregate_rtf"], 2),
+        "hbm_gib": round(hbm_used(), 2),
+    }
+    log(f"8B int4 serving: {out['frames_per_s']} frames/s aggregate "
+        f"({out['aggregate_rtf']}x real-time), HBM {out['hbm_gib']} GiB")
+    print(json.dumps(out))
+    del server
+
+
+def bench_lora():
+    from csm_tpu.training.benchmarks import (
+        peak_tflops_per_device, train_flops_per_step)
+    from csm_tpu.training.lora import LoRAConfig, init_lora_params
+    from csm_tpu.training.losses import Batch
+    from csm_tpu.training.optimizer import TrainState, make_lora_optimizer
+    from csm_tpu.training.train_step import make_lora_train_step
+    from csm_tpu.utils.quantize import quantize_weight
+
+    args = csm_8b_args()
+    K = args.audio_num_codebooks
+    t0 = time.time()
+    base = init_8b_quantized(jax.random.key(0), args, quantize_weight)
+    log(f"8B int8 base initialized in {time.time() - t0:.1f}s, "
+        f"HBM {hbm_used():.2f} GiB")
+
+    lcfg = LoRAConfig()
+    lora = jax.jit(
+        lambda k: init_lora_params(k, args, lcfg, jnp.float32)
+    )(jax.random.key(1))
+    tx = make_lora_optimizer(learning_rate=1e-4)
+    state = TrainState(lora, jax.jit(tx.init)(lora), jnp.zeros((), jnp.int32))
+
+    B, T = 2, 2048
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((B, T, K + 1), np.int32)
+    tokens_mask = np.zeros((B, T, K + 1), bool)
+    targets = np.zeros((B, T, K), np.int32)
+    target_mask = np.zeros((B, T), bool)
+    tokens[:, : T // 2, -1] = rng.integers(1, args.text_vocab_size, (B, T // 2))
+    tokens_mask[:, : T // 2, -1] = True
+    audio = rng.integers(0, args.audio_vocab_size, (B, T - T // 2, K))
+    tokens[:, T // 2:, :K] = audio
+    tokens_mask[:, T // 2:, :K] = True
+    targets[:, T // 2 - 1: T - 1] = audio
+    target_mask[:, T // 2 - 1: T - 1] = True
+    batch = Batch(jnp.asarray(tokens), jnp.asarray(tokens_mask),
+                  jnp.asarray(targets), jnp.asarray(target_mask))
+
+    step = make_lora_train_step(
+        args, tx, lcfg.scaling, compute_dtype=jnp.bfloat16, remat=True
+    )
+    t0 = time.time()
+    state, m = step(state, base, jax.random.key(2), batch)
+    loss0 = float(jax.device_get(m["loss"]))
+    log(f"8B LoRA compile+first step in {time.time() - t0:.1f}s "
+        f"(loss {loss0:.3f}), HBM {hbm_used():.2f} GiB")
+
+    times = []
+    for i in range(4):
+        t0 = time.time()
+        state, m = step(state, base, jax.random.key(3 + i), batch)
+        loss = float(jax.device_get(m["loss"]))  # fetch bounds the timing
+        times.append(time.time() - t0)
+        log(f"step {i}: {times[-1]:.3f}s loss {loss:.3f}")
+    best = min(times)
+    flops = train_flops_per_step(args, B, T, lora=True)
+    mfu = flops / best / (peak_tflops_per_device() * 1e12) * 100
+    out = {
+        "mode": "8b_int8base_lora",
+        "batch": B, "seq": T, "remat": True,
+        "step_s": round(best, 3),
+        "tokens_per_s": round(B * T / best, 1),
+        "model_tflops": round(flops / best / 1e12, 1),
+        "mfu_pct": round(mfu, 1),
+        "hbm_gib": round(hbm_used(), 2),
+    }
+    log(f"8B LoRA: {out['step_s']}s/step, {out['tokens_per_s']} tokens/s, "
+        f"MFU {out['mfu_pct']}%, HBM {out['hbm_gib']} GiB")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    warm_transport(verbose=True)
+    if mode in ("serving", "both"):
+        bench_serving()
+    if mode in ("lora", "both"):
+        bench_lora()

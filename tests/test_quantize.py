@@ -120,3 +120,28 @@ def test_server_int8_decoder_mode():
     results, _ = server.run([StreamRequest(toks, msk, max_frames=3,
                                            request_id=0)])
     assert results and results[0].frames.shape[1] == K
+
+
+def test_streaming_quantize_matches_whole_tree():
+    """quantize_csm_params_streaming (the 8B load path: per-layer-chunk
+    upload+quantize, full float tree never on device) == the whole-tree
+    quantizer, bit-for-bit, for int8 and int4."""
+    from csm_tpu.utils.quantize import (
+        quantize_csm_params,
+        quantize_csm_params_int4,
+        quantize_csm_params_streaming,
+    )
+
+    args = tiny_test_args()
+    params = init_csm_params(jax.random.key(3), args, jnp.float32)
+    host = jax.tree.map(np.asarray, params)
+    for mode, whole in (
+        ("int8", quantize_csm_params),
+        ("int4", quantize_csm_params_int4),
+    ):
+        ref = jax.jit(whole)(params)
+        got = quantize_csm_params_streaming(host, mode=mode)
+        assert jax.tree_util.tree_structure(ref) == \
+            jax.tree_util.tree_structure(got)
+        for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
