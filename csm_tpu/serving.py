@@ -841,6 +841,23 @@ class BatchedServer:
         if self.ramp_chunk:
             self.step()
         self.reset()
+        # every COMPACTION SIZE: a draining server passes through each
+        # power-of-two compacted program (live <= n_slots/2) — without
+        # this a "warmed" daemon still pays one compile per size as its
+        # first batch drains (measured: the first oversubscribed run
+        # after a 1-slot warmup lands 2-4x slow on exactly these)
+        s = 2
+        while s <= self.n_slots // 2:
+            for _ in range(s):
+                self.submit(dummy(fit[0]))
+            self.step()
+            if self.ramp_chunk:
+                self.step()
+            self.reset()
+            if verbose:
+                print(f"  warmup: compaction size {s} ready "
+                      f"(+{time.time() - t0:.1f}s)", flush=True)
+            s *= 2
         for name, pre in self._prefixes.items():
             sb = [b for b in PROMPT_BUCKETS
                   if pre.bucket + b + 3 <= self.max_seq_len]

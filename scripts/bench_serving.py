@@ -64,18 +64,30 @@ def measure(n_slots, weight_dtype, kv_dtype, pipelined, repeats):
         temperature=0.9, topk=50, chunk_size=8,
         weight_dtype=weight_dtype, kv_dtype=kv_dtype, pipelined=pipelined,
     )
-    _ = server.run([req(999, max_frames=3)])  # warm every program
+    server.warmup()  # every program: buckets, full batch, compaction sizes
     rates = []
-    for r in range(repeats):
+    # self-healing: a mid-run relay stall can poison individual runs by
+    # seconds (measured 182% spread on an otherwise 3%-tight config) —
+    # keep measuring up to 2*repeats runs until the spread is sane, and
+    # report the median over everything collected
+    max_runs = max(repeats, 2 * repeats)
+    while True:
         server.reset()
         reqs = [req(i) for i in range(n_slots * 2)]
         results, stats = server.run(reqs)
         assert len(results) == len(reqs)
         rates.append(stats["frames_per_s"])
+        if len(rates) >= repeats:
+            med = statistics.median(rates)
+            spread = (max(rates) - min(rates)) / med * 100
+            if spread <= 50.0 or len(rates) >= max_runs:
+                break
     del server
     gc.collect()
     med = statistics.median(rates)
-    spread = (max(rates) - min(rates)) / med * 100 if len(rates) > 1 else 0.0
+    spread = (
+        (max(rates) - min(rates)) / med * 100 if len(rates) > 1 else 0.0
+    )
     return med, spread, rates
 
 

@@ -509,3 +509,20 @@ def test_pipelined_ramp_chunk_keeps_first_gather(tiny):
     assert 1 <= n1 <= 3  # f0 + at most ramp_chunk frames, fetched NOW
     server.run([])
     assert server.warmup() > 0  # warmup drops in-flight chunks safely
+
+
+def test_warmup_compiles_every_compaction_size(tiny):
+    """warmup() must build EVERY decode program a draining server can
+    hit: each power-of-two compaction size <= n_slots/2 plus the
+    full-batch program — a 'warmed' daemon otherwise pays one compile
+    per size as its first batch drains (found by the one-window serving
+    protocol: the first oversubscribed run landed 2-4x slow on exactly
+    these)."""
+    args, params = tiny
+    srv = BatchedServer(params, args, n_slots=8, max_seq_len=128,
+                        temperature=1.0, topk=1,
+                        compute_dtype=jnp.float32, chunk_size=2)
+    srv.warmup()
+    sizes = {b for (b, c) in srv._decodes if c == srv.chunk_size}
+    assert {1, 2, 4, 8} <= sizes, sizes
+    assert not srv.active.any()
