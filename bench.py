@@ -134,16 +134,46 @@ def main():
 
     audio_seconds = max_frames / FRAME_RATE
     rtf = audio_seconds / best
-    print(
-        json.dumps(
-            {
-                "metric": "csm1b_generate_rtf",
-                "value": round(rtf, 3),
-                "unit": "audio_sec/wall_sec",
-                "vs_baseline": round(rtf / REFERENCE_RTF, 2),
-            }
-        )
-    )
+
+    # Secondary (driver-visible) metric: the measured-best int8
+    # weight-only mode.  The HEADLINE stays bf16 until int8 quality is
+    # validated on real checkpoints (promotion rule in serving.py), but
+    # the faster mode's number rides along in the same JSON line.
+    int8_rtf = None
+    try:
+        from csm_tpu.utils.quantize import quantize_csm_params
+
+        qparams = jax.jit(quantize_csm_params)(params)
+        jax.block_until_ready(qparams["backbone"]["wqkv"]["w8"])
+        res = gen(qparams, jax.random.key(2), tokens, mask, lens)
+        np.asarray(dec(mimi_params, res.frames.transpose(0, 2, 1)))  # compile
+        best8 = float("inf")
+        for i in range(2):
+            t0 = time.time()
+            res = gen(qparams, jax.random.key(7 + i), tokens, mask, lens)
+            audio = dec(mimi_params, res.frames.transpose(0, 2, 1))
+            chk = float(np.asarray(jnp.sum(jnp.abs(audio))))
+            dt = time.time() - t0
+            assert np.isfinite(chk) and chk > 0.0, chk
+            best8 = min(best8, dt)
+            log(f"int8 run {i}: {dt:.3f}s ({max_frames / dt:.1f} frames/s)")
+        int8_rtf = round(audio_seconds / best8, 3)
+    except Exception as e:  # the headline must survive a secondary failure
+        log(f"int8 secondary skipped: {e!r}")
+
+    out = {
+        "metric": "csm1b_generate_rtf",
+        "value": round(rtf, 3),
+        "unit": "audio_sec/wall_sec",
+        "vs_baseline": round(rtf / REFERENCE_RTF, 2),
+    }
+    if int8_rtf is not None:
+        out["secondary"] = {
+            "csm1b_generate_rtf_int8": int8_rtf,
+            "note": "int8 weight-only; headline stays bf16 pending "
+                    "real-checkpoint quality validation",
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -175,7 +175,10 @@ pid, nproc = initialize()
 assert len(jax.devices()) == 8
 args = tiny_test_args()
 K = args.audio_num_codebooks
-params = init_csm_params(jax.random.key(3), args, jnp.float32)
+# host copy: the train steps DONATE their state, and device_put can
+# alias replicated leaves — each branch rebuilds params from host
+host_params = jax.tree.map(
+    np.asarray, init_csm_params(jax.random.key(3), args, jnp.float32))
 
 rng = np.random.default_rng(0)  # same GLOBAL batch on every process
 B, T = 8, 8
@@ -190,7 +193,8 @@ tokens[:, T // 2 :, :K] = audio
 tokens_mask[:, T // 2 :, :K] = True
 targets[:, T // 2 - 1 : T - 1] = audio
 target_mask[:, T // 2 - 1 : T - 1] = True
-tx = make_optimizer(params, learning_rate=1e-3)
+tx = make_optimizer(
+    jax.tree.map(jnp.asarray, host_params), learning_rate=1e-3)
 
 def local_rows(mesh):
     start, size = process_batch_slice(B, mesh)
@@ -201,7 +205,7 @@ def local_rows(mesh):
 mesh = make_pp_mesh(pipeline_parallel=2)
 assert dict(mesh.shape) == {"data": 4, "pipe": 2}
 gbatch = global_batch_from_local(local_rows(mesh), mesh)
-sp = shard_params_pp(params, mesh)
+sp = shard_params_pp(jax.tree.map(jnp.asarray, host_params), mesh)
 step = make_train_step(args, tx, compute_dtype=jnp.float32,
                        pp_mesh=mesh, pp_microbatches=2)
 st = TrainState(sp, jax.jit(tx.init)(sp), jnp.zeros((), jnp.int32))
@@ -213,7 +217,7 @@ mesh = make_sp_mesh(seq_parallel=2)
 assert dict(mesh.shape) == {"data": 4, "seq": 2}
 gbatch = global_batch_from_local(local_rows(mesh), mesh, seq_sharded=True)
 rep = NamedSharding(mesh, P())
-rp = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+rp = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), rep), host_params)
 step = make_train_step(args, tx, compute_dtype=jnp.float32, seq_mesh=mesh)
 st = TrainState(rp, jax.jit(tx.init)(rp), jnp.zeros((), jnp.int32))
 st, m = step(st, jax.random.key(7), gbatch)
