@@ -139,3 +139,50 @@ def test_multi_speaker_round_robin(tiny, tmp_path):
         ms.trainers[0].state.params["backbone"]["wq"]["a"].shape
     paths = ms.save_speaker_models(save_mode="lora")
     assert set(paths) == {0, 1, "shared"} or set(paths) == {0, 1}
+
+
+def test_nonfinite_abort_saves_recoverable_state(tiny, tmp_path):
+    """The NaN/Inf guard's recovery path (round-3 verdict weak #8): the
+    abort checkpoint is fully committed BEFORE FloatingPointError
+    propagates (async writer flushed), and a fresh trainer can reload it
+    and continue training past the bad batch."""
+    args, params = tiny
+    out = str(tmp_path / "run")
+    tr = CSMTrainer(
+        output_dir=out, args=args, params=jax.tree.map(jnp.array, params),
+        learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+        async_checkpointing=True,
+    )
+    tr.prepare_optimizer()
+    orig = tr._step_fn
+    calls = {"n": 0}
+
+    def poisoned(state, key, batch):
+        state, m = orig(state, key, batch)
+        calls["n"] += 1
+        if calls["n"] == 2:  # step 2's metrics go non-finite
+            m = dict(m)
+            m["loss"] = jnp.asarray(np.inf, jnp.float32)
+        return state, m
+
+    tr._step_fn = poisoned
+    data = batches_for(args, n=4)
+    with pytest.raises(FloatingPointError):
+        tr.train(data, batch_size=2, epochs=2)
+    ckpt_path = os.path.join(out, "checkpoints", "nonfinite_abort")
+    assert os.path.isdir(ckpt_path)
+    # the commit (meta + latest pointer) finished before the raise
+    assert os.path.exists(os.path.join(ckpt_path, "meta.json"))
+    assert latest_checkpoint(os.path.join(out, "checkpoints")).endswith(
+        "nonfinite_abort")
+
+    # recovery: reload the aborted state, skip the bad batch, train on
+    tr2 = CSMTrainer(
+        output_dir=out, args=args, params=jax.tree.map(jnp.array, params),
+        learning_rate=1e-3, compute_dtype=jnp.float32, remat=False,
+    )
+    tr2.prepare_optimizer()
+    tr2.load_checkpoint(ckpt_path)
+    assert tr2.global_step >= 1
+    loss = tr2.train(data[2:], batch_size=2, epochs=1)
+    assert np.isfinite(loss)
