@@ -15,8 +15,8 @@ transient: the (32, 4096, 14336) w1 stack, ~3.5 GiB bf16) — the full
 tree only ever materializes in its quantized form.
 
 Usage:
-  python scripts/bench_8b.py serving   # int4 + int8 KV batched decode
-  python scripts/bench_8b.py lora      # int8-base LoRA train step
+  python scripts/bench_8b.py serving [n_slots]   # int4 + int8 KV decode
+  python scripts/bench_8b.py lora [batch]        # int8-base LoRA step
   python scripts/bench_8b.py both
 """
 import json
@@ -114,7 +114,7 @@ def hbm_used():
         return float("nan")
 
 
-def bench_serving():
+def bench_serving(n_slots=16):
     from csm_tpu.serving import BatchedServer, StreamRequest
     from csm_tpu.utils.quantize import quantize_weight_int4
 
@@ -124,8 +124,6 @@ def bench_serving():
     params = init_8b_quantized(jax.random.key(0), args, quantize_weight_int4)
     log(f"8B int4 params initialized in {time.time() - t0:.1f}s, "
         f"HBM {hbm_used():.2f} GiB")
-
-    n_slots = 16
     server = BatchedServer(
         params, args, n_slots=n_slots, max_seq_len=2048,
         temperature=0.9, topk=50, chunk_size=8,
@@ -165,7 +163,7 @@ def bench_serving():
     del server
 
 
-def bench_lora():
+def bench_lora(B=2):
     from csm_tpu.training.benchmarks import (
         peak_tflops_per_device, train_flops_per_step)
     from csm_tpu.training.lora import LoRAConfig, init_lora_params
@@ -188,7 +186,7 @@ def bench_lora():
     tx = make_lora_optimizer(learning_rate=1e-4)
     state = TrainState(lora, jax.jit(tx.init)(lora), jnp.zeros((), jnp.int32))
 
-    B, T = 2, 2048
+    T = 2048
     rng = np.random.default_rng(0)
     tokens = np.zeros((B, T, K + 1), np.int32)
     tokens_mask = np.zeros((B, T, K + 1), bool)
@@ -239,8 +237,9 @@ def bench_lora():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
     warm_transport(verbose=True)
     if mode in ("serving", "both"):
-        bench_serving()
+        bench_serving(n_slots=arg or 16)
     if mode in ("lora", "both"):
-        bench_lora()
+        bench_lora(B=arg or 2)
