@@ -9,7 +9,7 @@ round 4, 2026-08-20; earlier rounds' "a large first fetch is always
     fetch after it lapses pays a reconnect stall, every later fetch
     (and immediately-following processes: measured 1.8 s, and still
     1.5 s after a 300 s idle gap) rides warm — the lapse needs
-    extended idle (observed stalls followed >=30 min without TPU
+    extended idle (observed stalls followed ~15-30+ min without TPU
     traffic) or a relay-side mode change;
   * the stall is bimodal by relay mode, NOT by fetch size — healthy
     relay: ~2 s regardless of size; degraded relay: minutes regardless
