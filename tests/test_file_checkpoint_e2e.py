@@ -185,9 +185,13 @@ def test_lora_adapter_to_generate_cli(tmp_path, monkeypatch):
     tuned = load_csm_1b(
         ckpt, mimi_path=mimi, args=tiny_file_args(), lora_path=adapter
     )
+    # Generator applies the fused single-device decode layout, so the
+    # merged q-projection lives in "wqkv" (round-3 layout; "wq" with
+    # CSM_TPU_NO_FUSE=1)
+    proj = "wqkv" if "wqkv" in tuned.params["backbone"] else "wq"
     assert not np.array_equal(
-        np.asarray(tuned.params["backbone"]["wq"], np.float32),
-        np.asarray(base.params["backbone"]["wq"], np.float32),
+        np.asarray(tuned.params["backbone"][proj], np.float32),
+        np.asarray(base.params["backbone"][proj], np.float32),
     )
     # shape-mismatched adapter is rejected loudly
     from csm_tpu.models.config import tiny_test_args
