@@ -880,7 +880,7 @@ def main(argv=None) -> int:
             name, path = spec.split("=", 1)
             adapters[name] = path
     ramp_chunk = args.ramp_chunk
-    if ramp_chunk is None and args.stream and args.chunk_size > 2:
+    if ramp_chunk is None and (args.stream or args.http) and args.chunk_size > 2:
         # streaming clients care about time-to-first-audio: default to a
         # 2-frame post-admission ramp (measured sane point; explicit
         # --ramp-chunk overrides, chunk sizes <= 2 ramp nothing)

@@ -206,9 +206,12 @@ def global_batch_from_local(local_batch, mesh: Mesh, seq_sharded: bool = False):
         from csm_tpu.parallel.ring_attention import SEQ_AXIS
 
         def add_seq(spec):
-            parts = list(spec) + [None] * (3 - len(spec))
-            parts[1] = SEQ_AXIS
-            return P(*parts[: len(spec)])
+            # index 1 is the sequence dim; a rank-1 spec would silently
+            # drop the seq sharding after truncation — refuse instead
+            if len(spec) < 2:
+                raise ValueError(f"batch spec {spec} has no sequence dim "
+                                 "to shard over the seq axis")
+            return P(spec[0], SEQ_AXIS, *spec[2:])
 
         specs = {k: add_seq(s) for k, s in specs.items()}
     out = {}

@@ -184,9 +184,17 @@ def quantize_csm_params_streaming(
             continue
         ctree = {}
         for name, w in tree.items():
-            if name not in QUANTIZED_PROJS or getattr(w, "ndim", 0) != 3:
-                ctree[name] = jnp.asarray(w)
+            if name not in QUANTIZED_PROJS + ("wqkv", "w13"):
+                ctree[name] = jax.tree.map(jnp.asarray, w)
                 continue
+            if getattr(w, "ndim", 0) != 3:
+                # a projection name with an unexpected rank means the host
+                # tree is not the layer-stacked layout this path assumes;
+                # uploading it unquantized would silently OOM the 8B path
+                raise ValueError(
+                    f"{comp}.{name}: expected layer-stacked (L, in, out) "
+                    f"projection, got ndim={getattr(w, 'ndim', None)}"
+                )
             L = w.shape[0]
             parts, j = [], 0
             while j < L:
