@@ -150,18 +150,31 @@ def build_generator(args, compute_dtype=None):
             compute_dtype=jnp.float32,
         )
     margs = None
-    if getattr(args, "flavor", "1b") == "tiny":
+    flavor = getattr(args, "flavor", "1b")
+    qmode = ("int4" if getattr(args, "int4", False)
+             else "int8" if getattr(args, "int8", False)
+             else "int8-decoder" if getattr(args, "int8_decoder", False)
+             else "none")
+    if flavor == "tiny":
         from csm_tpu.models.config import tiny_file_args
 
         margs = tiny_file_args()
+    elif flavor == "8b":
+        # the original CSM's internal scale (8B backbone + 300M-class
+        # decoder, reference docs/reference/sesame_csm/components.md:8-10);
+        # loads leaf-streamed + quantized — csm-serve's --weight-dtype
+        # selects the mode when the --int8/--int4 flags aren't present
+        from csm_tpu.models.config import csm_8b_args
+
+        margs = csm_8b_args()
+        if qmode == "none":
+            wd = getattr(args, "weight_dtype", None)
+            qmode = {"int8": "int8", "int4": "int4", "auto": "int8"}.get(wd, qmode)
     return load_csm_1b(
         getattr(args, "model_path", None),
         mimi_path=getattr(args, "mimi_path", None),
         compute_dtype=dtype,
-        quantize=("int4" if getattr(args, "int4", False)
-                  else "int8" if getattr(args, "int8", False)
-                  else "int8-decoder" if getattr(args, "int8_decoder", False)
-                  else "none"),
+        quantize=qmode,
         kv_int8=getattr(args, "kv_int8", False),
         args=margs,
         lora_path=getattr(args, "lora_path", None),

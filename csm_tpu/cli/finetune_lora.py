@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(see csm-train)")
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--flavor", choices=("1b", "8b"), default="1b",
+                   help="Model shape for --model-path checkpoints: 1b "
+                        "(default) or 8b (the original CSM's internal "
+                        "scale; QLoRA-style — requires --int8-base or "
+                        "--int4-base to fit one chip)")
     p.add_argument("--mimi-path", type=str, default=None)
     p.add_argument("--output-dir", type=str, default="./csm_lora_output")
     p.add_argument("--learning-rate", type=float, default=1e-4)
@@ -146,7 +151,19 @@ def make_lora_trainer(args):
             params=init_csm_params(jax.random.key(0), margs, jnp.float32),
             compute_dtype=jnp.float32, remat=False, **common,
         )
-    return CSMLoRATrainer(model_path=args.model_path, **common)
+    flavor_args = None
+    if getattr(args, "flavor", "1b") == "8b":
+        from csm_tpu.models.config import csm_8b_args
+
+        if common["quant_base"] is None:
+            raise SystemExit(
+                "--flavor 8b needs a quantized frozen base to fit one "
+                "chip: pass --int8-base (measured 46-49% MFU, "
+                "BENCHMARKS.md §8B) or --int4-base"
+            )
+        flavor_args = csm_8b_args()
+    return CSMLoRATrainer(model_path=args.model_path, args=flavor_args,
+                          **common)
 
 
 def main(argv=None) -> int:

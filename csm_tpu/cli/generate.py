@@ -54,10 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grouped int4 weight-only quantization (Pallas "
                         "fused-dequant kernel; fastest decode, more "
                         "quantization error than --int8)")
-    p.add_argument("--flavor", choices=("1b", "tiny"), default="1b",
+    p.add_argument("--flavor", choices=("1b", "8b", "tiny"), default="1b",
                    help="Model shape for --model-path checkpoints: 1b "
-                        "(default) or tiny (tiny layers, full 1B token "
-                        "geometry — the file-format test fixture)")
+                        "(default), 8b (the original CSM's internal "
+                        "scale; loads leaf-streamed — requires --int8 or "
+                        "--int4 on one chip), or tiny (tiny layers, full "
+                        "1B token geometry — the file-format test fixture)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache (quantize at write; halves the "
                         "decode-time cache HBM stream)")

@@ -34,6 +34,12 @@ from csm_tpu.cli.common import add_tiny_test_flag, build_generator
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Serve CSM TTS requests (TPU)")
     p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--flavor", choices=("1b", "8b", "tiny"), default="1b",
+                   help="Model shape for --model-path checkpoints: 1b "
+                        "(default), 8b (the original CSM's internal "
+                        "scale; loads leaf-streamed — requires "
+                        "--weight-dtype int8|int4 on one chip), or tiny "
+                        "(file-format test fixture shape)")
     p.add_argument("--mimi-path", type=str, default=None)
     p.add_argument("--adapter", action="append", default=None,
                    metavar="NAME=PATH",

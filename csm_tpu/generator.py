@@ -386,7 +386,12 @@ def _generator_streaming(
 Generator.generate_streaming = _generator_streaming
 
 
-def load_csm_1b(
+# bf16 trees larger than this stream through the quantizer at load —
+# they cannot coexist with their float form on a 16 GiB chip
+_STREAMING_LOAD_BYTES = 8 << 30
+
+
+def load_csm(
     ckpt_path: Optional[str] = None,
     mimi_path: Optional[str] = None,
     watermarker=None,
@@ -396,10 +401,16 @@ def load_csm_1b(
     args: Optional[ModelArgs] = None,
     lora_path: Optional[str] = None,
 ) -> Generator:
-    """Build a CSM-1B Generator (reference: src/csm/generator.py:221-244).
+    """Build a CSM Generator of any flavor
+    (reference ``load_csm_1b``: src/csm/generator.py:221-244).
 
     ``args`` — model shape override (default ``csm_1b_args()``; e.g.
-    ``tiny_file_args()`` for the file-format fixture flavor).
+    ``csm_8b_args()`` for the original CSM's 8B scale
+    (/root/reference/docs/reference/sesame_csm/components.md:8-10) or
+    ``tiny_file_args()`` for the file-format fixture flavor).  Models
+    whose bf16 tree exceeds ~8 GiB (the 8B flavor) load through the
+    leaf-streamed quantizer — ``quantize`` must then be "int8" or
+    "int4", and the float tree never materializes on device.
 
     ``ckpt_path`` — reference ``ckpt.pt`` (torchtune names) or an orbax
     checkpoint directory; None → random init (no network egress here, so
@@ -419,8 +430,15 @@ def load_csm_1b(
     happens before ``quantize``.
     """
     from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_init
+    from csm_tpu.models.config import csm_param_count
 
     args = args or csm_1b_args()
+    qmode = {False: "none", True: "int8", None: "none"}.get(quantize, quantize)
+    if 2 * csm_param_count(args) > _STREAMING_LOAD_BYTES:
+        return _load_csm_streaming(
+            ckpt_path, mimi_path, watermarker, compute_dtype, qmode,
+            kv_int8, args, lora_path,
+        )
     if ckpt_path is None:
         params = jax.jit(lambda: _cast(_random_params(args), compute_dtype))()
     elif ckpt_path.endswith(".pt"):
@@ -444,7 +462,6 @@ def load_csm_1b(
             )
         params = _cast(merge_lora(params, lora, lcfg), compute_dtype)
 
-    qmode = {False: "none", True: "int8", None: "none"}.get(quantize, quantize)
     if qmode == "int8":
         from csm_tpu.utils.quantize import quantize_csm_params
 
@@ -479,6 +496,99 @@ def load_csm_1b(
         compute_dtype=compute_dtype,
         kv_dtype=jnp.int8 if kv_int8 else None,
     )
+
+
+def _load_csm_streaming(
+    ckpt_path, mimi_path, watermarker, compute_dtype, qmode, kv_int8,
+    args, lora_path,
+) -> Generator:
+    """Leaf-streamed load for models too big to exist in bf16 on one chip
+    (the 8B flavor): weights are initialized / uploaded and quantized per
+    layer chunk, so only the quantized tree ever materializes on device
+    (scripts/bench_8b.py proved the memory envelope: int4 serving
+    8.58 GiB, int8 ~10 GiB on a 16 GiB v5e)."""
+    from csm_tpu.codec.mimi import CSM_MIMI_CONFIG, mimi_init
+
+    if qmode not in ("int8", "int4"):
+        raise ValueError(
+            f"this model's bf16 tree does not fit one chip: pass "
+            f"quantize='int8' or 'int4' (CLI --int8 / --int4, csm-serve "
+            f"--weight-dtype int8|int4), got {qmode!r}"
+        )
+    if lora_path is not None:
+        raise ValueError(
+            "lora_path merges adapters into a float base, which this "
+            "flavor cannot materialize — serve adapters unmerged at "
+            "runtime instead (csm-serve --adapter NAME=PATH applies "
+            "them on top of the quantized base)"
+        )
+    if ckpt_path is None:
+        from csm_tpu.utils.quantize import init_csm_params_quantized
+
+        params = init_csm_params_quantized(jax.random.key(0), args, qmode)
+    elif ckpt_path.endswith((".pt", ".safetensors")):
+        from csm_tpu.utils.checkpoint_compat import load_torch_checkpoint
+        from csm_tpu.utils.quantize import quantize_csm_params_streaming
+
+        host = load_torch_checkpoint(ckpt_path, args)
+        params = quantize_csm_params_streaming(host, mode=qmode)
+        del host
+    else:
+        raise ValueError(
+            "orbax checkpoint dirs restore to device in float and would "
+            "OOM this flavor — export the checkpoint to .safetensors "
+            "(csm_tpu.utils.safetensors_io) or pass a torch .pt"
+        )
+
+    if os.environ.get("CSM_TPU_NO_FUSE") != "1":
+        params = _fuse_owned(params)
+
+    if mimi_path is None:
+        mimi_params = mimi_init(jax.random.key(1), CSM_MIMI_CONFIG)
+    else:
+        from csm_tpu.codec.convert import load_mimi_checkpoint
+
+        mimi_params = load_mimi_checkpoint(mimi_path)
+    return Generator(
+        params, args, mimi=MimiAudioTokenizer(mimi_params),
+        watermarker=watermarker, compute_dtype=compute_dtype,
+        kv_dtype=jnp.int8 if kv_int8 else None,
+    )
+
+
+def _fuse_owned(params: dict) -> dict:
+    """qkv / gate-up fusion with incremental freeing.
+
+    ``fuse_csm_params`` builds a full second tree before the first is
+    dropped — fine at 1B, but an int8 8B tree (~8.5 GiB) plus its fused
+    copy exceeds the chip.  Here the loader owns the ONLY reference, so
+    each source projection is released as soon as its fused leaf exists,
+    bounding the transient to one fused leaf (~1 GiB).  Downstream
+    ``fuse_csm_params`` calls (Generator / BatchedServer) see ``wqkv``
+    and skip."""
+    for comp in ("backbone", "decoder"):
+        tp = params[comp]
+        if "wqkv" in tp:
+            continue
+        for names, fused_name in ((("wq", "wk", "wv"), "wqkv"),
+                                  (("w1", "w3"), "w13")):
+            ws = [tp.pop(n) for n in names]
+            if isinstance(ws[0], dict):
+                fused = {
+                    k: jnp.concatenate([w[k] for w in ws], axis=-1)
+                    for k in ws[0]
+                }
+            else:
+                fused = jnp.concatenate(ws, axis=-1)
+            jax.block_until_ready(fused)
+            del ws  # last reference: frees the separate projections
+            tp[fused_name] = fused
+    return params
+
+
+# Back-compat name from the reference API (src/csm/generator.py:221):
+# identical behavior; ``args`` selects the flavor either way.
+load_csm_1b = load_csm
 
 
 def _random_params(args: ModelArgs):

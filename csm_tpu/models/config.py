@@ -199,6 +199,32 @@ def csm_8b_args() -> ModelArgs:
     )
 
 
+def transformer_param_count(cfg: TransformerConfig) -> int:
+    """Exact parameter count of one transformer stack
+    (csm_tpu/models/llama.transformer_init layout)."""
+    E, I, D = cfg.embed_dim, cfg.intermediate_dim, cfg.head_dim
+    qd, kvd = cfg.num_heads * D, cfg.num_kv_heads * D
+    per_layer = E * qd + 2 * E * kvd + qd * E + 2 * E * I + I * E + 2 * E
+    return cfg.num_layers * per_layer + E
+
+
+def csm_param_count(args: ModelArgs) -> int:
+    """Exact parameter count of the full CSM tree
+    (csm_tpu/models/csm.init_csm_params layout) — the routing signal for
+    the streaming 8B load path (bf16 bytes = 2 × this)."""
+    bb, dec = args.backbone, args.decoder
+    K, V = args.audio_num_codebooks, args.audio_vocab_size
+    return (
+        transformer_param_count(bb)
+        + transformer_param_count(dec)
+        + args.text_vocab_size * bb.embed_dim
+        + V * K * bb.embed_dim
+        + bb.embed_dim * dec.embed_dim
+        + bb.embed_dim * V
+        + (K - 1) * dec.embed_dim * V
+    )
+
+
 def tiny_test_args(
     audio_num_codebooks: int = 4,
     text_vocab_size: int = 128,

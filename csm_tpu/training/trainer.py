@@ -631,8 +631,28 @@ class CSMLoRATrainer(CSMTrainer):
     def _load_model(self, model_path, args, params):
         if (
             self.quant_base is not None
+            and model_path is None
+            and params is None
+        ):
+            from csm_tpu.models.config import csm_param_count
+
+            a = args or csm_1b_args()
+            if 2 * csm_param_count(a) > (8 << 30):
+                # big flavors (8B): the float tree can never exist on the
+                # chip — initialize straight into the quantized form
+                from csm_tpu.utils.quantize import init_csm_params_quantized
+
+                self.logger.info(
+                    f"random-initializing quantized ({self.quant_base}) "
+                    f"base (leaf-streamed; no model_path)"
+                )
+                return a, init_csm_params_quantized(
+                    jax.random.key(0), a, self.quant_base
+                )
+        if (
+            self.quant_base is not None
             and model_path is not None
-            and model_path.endswith(".pt")
+            and model_path.endswith((".pt", ".safetensors"))
         ):
             # Quantize DURING upload, leaf-by-leaf: "load bf16 then
             # quantize" needs the full float tree on device first, which

@@ -157,6 +157,86 @@ def quantize_csm_params_int4(
     return out
 
 
+def init_transformer_quantized(key, cfg, mode: str = "int8",
+                               layers_per_chunk: int = 2) -> dict:
+    """``models.llama.transformer_init``'s tree, initialized + quantized
+    in PER-LAYER-CHUNK jit calls — for models whose bf16 tree exceeds the
+    chip (8B): the quantizer's f32/int32 intermediates on a full 8B leaf
+    (e.g. the 3.5 GiB w1 stack) don't all fuse away, so bounding each
+    call to ~2 layers keeps transients in the hundreds of MiB.  Matches
+    ``transformer_init``'s shapes and normal/sqrt(fan_in) distribution.
+    """
+    import jax
+    import numpy as np
+
+    qfn = {"int8": quantize_weight, "int4": quantize_weight_int4}[mode]
+    E, I, L = cfg.embed_dim, cfg.intermediate_dim, cfg.num_layers
+    D = cfg.head_dim
+    qd, kvd = cfg.num_heads * D, cfg.num_kv_heads * D
+    specs = {
+        "wq": ((L, E, qd), E), "wk": ((L, E, kvd), E),
+        "wv": ((L, E, kvd), E), "wo": ((L, qd, E), qd),
+        "w1": ((L, E, I), E), "w3": ((L, E, I), E), "w2": ((L, I, E), I),
+    }
+    tp = {}
+    for i, (name, (shape, fan)) in enumerate(sorted(specs.items())):
+        parts, j = [], 0
+        while j < L:
+            c = min(layers_per_chunk, L - j)
+            f = jax.jit(lambda k, s=(c,) + shape[1:], fi=fan: qfn(
+                (jax.random.normal(k, s, jnp.bfloat16)
+                 / np.sqrt(fi).astype(np.float32))
+            ))
+            parts.append(jax.block_until_ready(
+                f(jax.random.fold_in(jax.random.fold_in(key, i), j))
+            ))
+            j += c
+        tp[name] = (
+            jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+            if len(parts) > 1 else parts[0]
+        )
+        del parts
+    ones = jax.jit(lambda: (
+        jnp.ones((L, E), jnp.bfloat16), jnp.ones((L, E), jnp.bfloat16),
+        jnp.ones((E,), jnp.bfloat16),
+    ))()
+    tp["sa_norm"], tp["mlp_norm"], tp["norm"] = ones
+    return tp
+
+
+def init_csm_params_quantized(key, args, mode: str = "int8") -> dict:
+    """Full CSM tree with backbone/decoder projections quantized at init;
+    embeddings / heads / norms bf16 (the ``quantize_csm_params*``
+    component policy).  The 8B no-checkpoint load path: the bf16 8B tree
+    (~16 GiB) can never exist on a 16 GiB chip, so the tree only ever
+    materializes in its quantized form (scripts/bench_8b.py measured
+    runs use exactly this)."""
+    import jax
+    import numpy as np
+
+    bb, dec = args.backbone, args.decoder
+    kb, kd, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
+    params = {
+        "backbone": init_transformer_quantized(kb, bb, mode),
+        "decoder": init_transformer_quantized(kd, dec, mode),
+    }
+    emb = lambda k, shape, fan: jax.block_until_ready(jax.jit(  # noqa: E731
+        lambda kk: (jax.random.normal(kk, shape, jnp.float32)
+                    / np.sqrt(fan)).astype(jnp.bfloat16)
+    )(k))
+    K = args.audio_num_codebooks
+    params["text_embeddings"] = emb(
+        k1, (args.text_vocab_size, bb.embed_dim), bb.embed_dim)
+    params["audio_embeddings"] = emb(
+        k2, (args.audio_vocab_size * K, bb.embed_dim), bb.embed_dim)
+    params["projection"] = emb(k3, (bb.embed_dim, dec.embed_dim), bb.embed_dim)
+    params["codebook0_head"] = emb(
+        k4, (bb.embed_dim, args.audio_vocab_size), bb.embed_dim)
+    params["audio_head"] = emb(
+        k5, (K - 1, dec.embed_dim, args.audio_vocab_size), dec.embed_dim)
+    return params
+
+
 def quantize_csm_params_streaming(
     host_params: dict,
     mode: str = "int8",

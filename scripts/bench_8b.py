@@ -40,72 +40,6 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def init_transformer_quantized(key, cfg, qfn, layers_per_chunk=2):
-    """transformer_init's tree, initialized + quantized in PER-LAYER-CHUNK
-    jit calls: the quantizer's f32/int32 intermediates on a full 8B leaf
-    (e.g. the 3.5 GiB w1 stack) don't all fuse away, so bounding each
-    call to ~2 layers keeps transients in the hundreds of MiB."""
-    E, I, L = cfg.embed_dim, cfg.intermediate_dim, cfg.num_layers
-    D = cfg.head_dim
-    qd, kvd = cfg.num_heads * D, cfg.num_kv_heads * D
-    specs = {
-        "wq": ((L, E, qd), E), "wk": ((L, E, kvd), E),
-        "wv": ((L, E, kvd), E), "wo": ((L, qd, E), qd),
-        "w1": ((L, E, I), E), "w3": ((L, E, I), E), "w2": ((L, I, E), I),
-    }
-    tp = {}
-    for i, (name, (shape, fan)) in enumerate(sorted(specs.items())):
-        parts = []
-        j = 0
-        while j < L:
-            c = min(layers_per_chunk, L - j)
-            f = jax.jit(lambda k, s=(c,) + shape[1:], fi=fan: qfn(
-                (jax.random.normal(k, s, jnp.bfloat16)
-                 / np.sqrt(fi).astype(np.float32))
-            ))
-            parts.append(jax.block_until_ready(
-                f(jax.random.fold_in(jax.random.fold_in(key, i), j))
-            ))
-            j += c
-        tp[name] = (
-            jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
-            if len(parts) > 1 else parts[0]
-        )
-        del parts
-    ones = jax.jit(lambda: (
-        jnp.ones((L, E), jnp.bfloat16), jnp.ones((L, E), jnp.bfloat16),
-        jnp.ones((E,), jnp.bfloat16),
-    ))()
-    tp["sa_norm"], tp["mlp_norm"], tp["norm"] = ones
-    return tp
-
-
-def init_8b_quantized(key, args, qfn):
-    """Full CSM tree with backbone/decoder projections quantized by
-    ``qfn``; embeddings / heads / norms bf16 (matches
-    quantize_csm_params* component policy)."""
-    bb, dec = args.backbone, args.decoder
-    kb, kd, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
-    params = {
-        "backbone": init_transformer_quantized(kb, bb, qfn),
-        "decoder": init_transformer_quantized(kd, dec, qfn),
-    }
-    emb = lambda k, shape, fan: jax.block_until_ready(jax.jit(  # noqa: E731
-        lambda kk: (jax.random.normal(kk, shape, jnp.bfloat16)
-                    / np.sqrt(fan).astype(np.float32))
-    )(k))
-    K = args.audio_num_codebooks
-    params["text_embeddings"] = emb(k1, (args.text_vocab_size, bb.embed_dim), bb.embed_dim)
-    params["audio_embeddings"] = emb(
-        k2, (args.audio_vocab_size * K, bb.embed_dim), bb.embed_dim)
-    params["projection"] = emb(k3, (bb.embed_dim, dec.embed_dim), bb.embed_dim)
-    params["codebook0_head"] = emb(
-        k4, (bb.embed_dim, args.audio_vocab_size), bb.embed_dim)
-    params["audio_head"] = emb(
-        k5, (K - 1, dec.embed_dim, args.audio_vocab_size), dec.embed_dim)
-    return params
-
-
 def hbm_used():
     try:
         stats = jax.devices()[0].memory_stats()
@@ -116,12 +50,12 @@ def hbm_used():
 
 def bench_serving(n_slots=16):
     from csm_tpu.serving import BatchedServer, StreamRequest
-    from csm_tpu.utils.quantize import quantize_weight_int4
+    from csm_tpu.utils.quantize import init_csm_params_quantized
 
     args = csm_8b_args()
     K = args.audio_num_codebooks
     t0 = time.time()
-    params = init_8b_quantized(jax.random.key(0), args, quantize_weight_int4)
+    params = init_csm_params_quantized(jax.random.key(0), args, "int4")
     log(f"8B int4 params initialized in {time.time() - t0:.1f}s, "
         f"HBM {hbm_used():.2f} GiB")
     server = BatchedServer(
@@ -170,12 +104,12 @@ def bench_lora(B=2):
     from csm_tpu.training.losses import Batch
     from csm_tpu.training.optimizer import TrainState, make_lora_optimizer
     from csm_tpu.training.train_step import make_lora_train_step
-    from csm_tpu.utils.quantize import quantize_weight
+    from csm_tpu.utils.quantize import init_csm_params_quantized
 
     args = csm_8b_args()
     K = args.audio_num_codebooks
     t0 = time.time()
-    base = init_8b_quantized(jax.random.key(0), args, quantize_weight)
+    base = init_csm_params_quantized(jax.random.key(0), args, "int8")
     log(f"8B int8 base initialized in {time.time() - t0:.1f}s, "
         f"HBM {hbm_used():.2f} GiB")
 
