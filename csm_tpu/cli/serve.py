@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Concurrent decode slots (HBM-bound; 64 fits CSM-1B "
                         "on a v5e chip)")
     p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--window", type=int, default=None,
+                   help="Sliding-window KV size (columns) for UNBOUNDED "
+                        "sessions: each stream keeps its prompt as a "
+                        "never-evicted anchor and ring-writes decode "
+                        "frames over the rest, so requests are not "
+                        "capped by max_seq_len and decode cost stays "
+                        "flat no matter how long the stream runs")
     p.add_argument("--chunk-size", type=int, default=8,
                    help="Decode frames per host round-trip")
     p.add_argument("--ramp-chunk", type=int, default=None,
@@ -855,22 +862,35 @@ def main(argv=None) -> int:
         # plus the frame budget must fit max_seq_len
         from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
 
+        cache_len = args.window or args.max_seq_len
         try:
             bucket = bucket_length(
                 tokens.shape[0],
-                tuple(b for b in PROMPT_BUCKETS if b <= args.max_seq_len),
+                tuple(b for b in PROMPT_BUCKETS if b <= cache_len),
             )
         except ValueError:
-            bucket = args.max_seq_len  # prompt exceeds every bucket
-        if pb + bucket + 1 > args.max_seq_len:
-            print(f"  skipping {r.get('id', i)}: prompt ({tokens.shape[0]} "
-                  f"frames, bucket {pb + bucket} incl. prefix) leaves no "
-                  f"room in max_seq_len {args.max_seq_len}", file=sys.stderr)
-            return None
-        max_frames = max(1, min(
-            int(budget_ms / MS_PER_FRAME),
-            args.max_seq_len - pb - bucket,
-        ))
+            bucket = cache_len  # prompt exceeds every bucket
+        if args.window is not None:
+            # sliding-window serving: the budget is NOT seq-len-capped —
+            # the ring evicts; the prompt just has to leave a ring
+            if pb + bucket + 2 * args.chunk_size + 2 > args.window:
+                print(f"  skipping {r.get('id', i)}: prompt "
+                      f"({tokens.shape[0]} frames, bucket {pb + bucket} "
+                      f"incl. prefix) leaves no decode ring in window "
+                      f"{args.window}", file=sys.stderr)
+                return None
+            max_frames = max(1, int(budget_ms / MS_PER_FRAME))
+        else:
+            if pb + bucket + 1 > args.max_seq_len:
+                print(f"  skipping {r.get('id', i)}: prompt "
+                      f"({tokens.shape[0]} frames, bucket {pb + bucket} "
+                      f"incl. prefix) leaves no room in max_seq_len "
+                      f"{args.max_seq_len}", file=sys.stderr)
+                return None
+            max_frames = max(1, min(
+                int(budget_ms / MS_PER_FRAME),
+                args.max_seq_len - pb - bucket,
+            ))
         return StreamRequest(tokens, mask, max_frames=max_frames,
                              request_id=r.get("id", i),
                              adapter=adapter, prefix=prefix)
@@ -898,7 +918,7 @@ def main(argv=None) -> int:
         chunk_size=args.chunk_size, ramp_chunk=ramp_chunk,
         weight_dtype=args.weight_dtype,
         kv_dtype=args.kv_dtype, adapters=adapters,
-        pipelined=args.pipelined,
+        pipelined=args.pipelined, window=args.window,
     )
     def register_prefix_file(name, path, adapter=None):
         """Mimi-encode + backbone-prefill a preset context JSON file

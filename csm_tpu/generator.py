@@ -271,11 +271,12 @@ class Generator:
         return outs
 
 
-def _streaming_server_cache(gen: "Generator", chunk_frames: int, topk: int):
+def _streaming_server_cache(gen: "Generator", chunk_frames: int, topk: int,
+                            window: Optional[int] = None):
     srv = getattr(gen, "_stream_servers", None)
     if srv is None:
         srv = gen._stream_servers = {}
-    key = (chunk_frames, topk)
+    key = (chunk_frames, topk, window)
     if key not in srv:
         from csm_tpu.serving import BatchedServer
 
@@ -284,6 +285,7 @@ def _streaming_server_cache(gen: "Generator", chunk_frames: int, topk: int):
             topk=topk, compute_dtype=gen.compute_dtype,
             chunk_size=chunk_frames,
             kv_dtype="int8" if gen.kv_dtype == jnp.int8 else "bf16",
+            window=window,
         )
     return srv[key]
 
@@ -298,9 +300,15 @@ def _generator_streaming(
     topk: int = 50,
     seed: int = 0,
     chunk_frames: int = 13,
+    window: Optional[int] = None,
 ):
     """Stream generation: yields (audio_chunk float32 @24 kHz, done bool)
     roughly every ``chunk_frames`` × 80 ms of audio.
+
+    ``window`` — sliding-window KV size for UNBOUNDED streams: the prompt
+    stays as a never-evicted anchor, decode frames ring over the rest,
+    and the ``max_seq_len − max_frames`` admission contract is waived
+    (csm_tpu/serving.BatchedServer window mode).
 
     First-audio latency ≈ prefill + chunk_frames frames + one Mimi decode —
     the low-latency serving mode (the original CSM's headline UX metric is
@@ -317,15 +325,17 @@ def _generator_streaming(
     context = context or []
     tokens, mask = self._build_prompt(text, speaker, context)
     max_frames = int(max_audio_length_ms / MS_PER_FRAME)
-    limit = self.max_seq_len - max_frames
-    if tokens.shape[0] >= limit:
-        raise ValueError(
-            f"prompt too long: {tokens.shape[0]} >= {limit}"
-        )
+    if window is None:
+        # windowed streams waive this contract: the server ring-evicts
+        limit = self.max_seq_len - max_frames
+        if tokens.shape[0] >= limit:
+            raise ValueError(
+                f"prompt too long: {tokens.shape[0]} >= {limit}"
+            )
     if self.mimi is None:
         raise ValueError("streaming decode requires a Mimi tokenizer")
 
-    server = _streaming_server_cache(self, chunk_frames, topk)
+    server = _streaming_server_cache(self, chunk_frames, topk, window)
     server.reset(seed)
     server.temperature = temperature
     server.submit(StreamRequest(tokens, mask, max_frames=max_frames))

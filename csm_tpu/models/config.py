@@ -199,6 +199,22 @@ def csm_8b_args() -> ModelArgs:
     )
 
 
+def with_horizon(args: ModelArgs, horizon: int) -> ModelArgs:
+    """Same model, longer position horizon: extends the backbone's RoPE
+    table / max_seq_len WITHOUT touching any weight shape (positions are
+    the only thing ``max_seq_len`` feeds at inference).  Used by
+    sliding-window serving, where the KV cache is ``window`` columns but
+    absolute positions run past it between re-anchors
+    (csm_tpu/serving.py)."""
+    if args.backbone.max_seq_len >= horizon:
+        return args
+    return dataclasses.replace(
+        args,
+        backbone_config=dataclasses.replace(args.backbone, max_seq_len=horizon),
+        decoder_config=args.decoder,
+    )
+
+
 def transformer_param_count(cfg: TransformerConfig) -> int:
     """Exact parameter count of one transformer stack
     (csm_tpu/models/llama.transformer_init layout)."""

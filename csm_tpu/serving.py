@@ -49,7 +49,7 @@ import numpy as np
 from csm_tpu.models import csm
 from csm_tpu.models.config import ModelArgs
 from csm_tpu.models.generation import PROMPT_BUCKETS, bucket_length
-from csm_tpu.ops.kvcache import KVCache
+from csm_tpu.ops.kvcache import KVCache, QuantKV
 
 # weight_dtype="auto" policy, measured on v5e (scripts/bench_serving.py
 # --int8 vs bf16; see BENCHMARKS.md).  With the on-device control plane,
@@ -133,6 +133,10 @@ class SlotState(NamedTuple):
     pos: jnp.ndarray  # (B,) int32 — absolute position of the fed token
     live: jnp.ndarray  # (B,) bool
     remaining: jnp.ndarray  # (B,) int32 — frames the slot may still emit
+    # sliding-window serving: cache columns [0, anchor) hold the prompt /
+    # prefix (never evicted); decode frames ring-write over
+    # [anchor, cache_len).  0 (and unused) outside windowed mode.
+    anchor: jnp.ndarray  # (B,) int32
 
 
 class _InFlight(NamedTuple):
@@ -160,7 +164,8 @@ class _InFlight(NamedTuple):
 
 
 def build_decode_fn(
-    args: ModelArgs, B: int, chunk_size: int, topk: int, compute_dtype
+    args: ModelArgs, B: int, chunk_size: int, topk: int, compute_dtype,
+    windowed: bool = False,
 ):
     """The serving decode-chunk program (un-jitted) — the on-device
     control plane (VERDICT round-1 item #5):
@@ -203,6 +208,20 @@ def build_decode_fn(
         def body(c):
             t, state, slots, frames_buf, counts = c
             live = slots.live
+            if windowed:
+                # ring write: decode columns wrap over [anchor, C) while
+                # positions stay absolute — the position-tagged cache
+                # (kv_pos + causal_mask_from_positions) makes slot ORDER
+                # irrelevant, so overwriting the oldest column IS the
+                # sliding-window eviction (reference lists this as
+                # deployment future work,
+                # docs/reference/sesame_csm/inference.md:148-152)
+                C = state.cache.max_seq_len
+                ring = jnp.maximum(C - slots.anchor, 1)
+                off = slots.anchor + jnp.remainder(
+                    state.offset - slots.anchor, ring
+                )
+                state = state._replace(offset=off)
             tokens = (
                 jnp.zeros((B, 1, K + 1), jnp.int32)
                 .at[:, 0, :K].set(slots.last_frame)
@@ -232,6 +251,7 @@ def build_decode_fn(
                 pos=slots.pos + 1,
                 live=emit & (rem > 0),
                 remaining=rem,
+                anchor=slots.anchor,
             )
             return t + 1, state, slots, frames_buf, counts
 
@@ -262,6 +282,8 @@ class BatchedServer:
         kv_dtype: str = "bf16",
         adapters: Optional[dict] = None,
         pipelined: bool = False,
+        window: Optional[int] = None,
+        reanchor_headroom: int = 1024,
     ):
         """``chunk_size`` — max decode frames per host round-trip: admission
         latency granularity trades against per-dispatch overhead (a chunk
@@ -315,6 +337,45 @@ class BatchedServer:
         topk=1).  With ``ramp_chunk`` set, admission steps drop to
         synchronous dispatch so time-to-first-audio keeps the ramp
         win."""
+        # ``window`` — sliding-window KV for UNBOUNDED sessions: the cache
+        # shrinks to ``window`` columns; each slot keeps its prompt/prefix
+        # as a never-evicted anchor and ring-writes decode frames over the
+        # rest, so a stream attends to [prompt] + [most recent frames] at
+        # true relative distances and never hard-stops at max_seq_len.
+        # Positions stay absolute; when a slot's position nears the RoPE
+        # horizon, a rare compiled re-anchor shifts its ring positions
+        # down and rotates the cached ring K by the same delta (RoPE is
+        # relative: scores are exactly preserved), so session length is
+        # unbounded.  max_frames is not admission-capped in this mode.
+        self.window = window
+        if window is not None:
+            if window > max_seq_len:
+                raise ValueError(
+                    f"window {window} exceeds max_seq_len {max_seq_len}")
+            if window < 2 * chunk_size + 2:
+                raise ValueError(
+                    f"window {window} is too small for chunk_size "
+                    f"{chunk_size} (need >= {2 * chunk_size + 2})")
+            from csm_tpu.models.config import with_horizon
+
+            # position headroom between re-anchors: re-anchor roughly
+            # every ``reanchor_headroom`` frames per slot — keep it rare
+            # (the floor keeps _reanchor_at above _reanchor_target)
+            if reanchor_headroom < 3 * chunk_size + 4:
+                raise ValueError(
+                    f"reanchor_headroom {reanchor_headroom} < "
+                    f"{3 * chunk_size + 4} (3*chunk_size + 4)")
+            self._horizon = max(
+                args.backbone.max_seq_len,
+                window + reanchor_headroom,
+            )
+            args = with_horizon(args, self._horizon)
+            # host-tracked per-slot positions (exact for live slots: pos
+            # advances once per emitted frame) drive re-anchor scheduling
+            self._reanchor_at = self._horizon - 2 * chunk_size - 2
+            self._reanchor_target = window + chunk_size
+            self._reanchor = None  # compiled lazily
+        self._cache_len = window if window is not None else max_seq_len
         if weight_dtype not in ("bf16", "int8", "int8-decoder", "int4",
                                 "auto"):
             raise ValueError(
@@ -419,17 +480,19 @@ class BatchedServer:
         K = self.args.audio_num_codebooks
         state = csm.init_frame_state(
             self.args, self.n_slots, self.compute_dtype,
-            max_seq_len=self.max_seq_len, kv_dtype=self._kv_dtype_jnp,
+            max_seq_len=self._cache_len, kv_dtype=self._kv_dtype_jnp,
         )
         # per-row cache offsets: each slot's row fills independently and
         # resets on admission — a slot never exhausts the cache as long as
-        # prompt_bucket + max_frames <= max_seq_len (enforced in submit)
+        # prompt_bucket + max_frames <= max_seq_len (enforced in submit;
+        # windowed mode instead ring-writes decode frames, no exhaustion)
         state = state._replace(offset=jnp.zeros(self.n_slots, jnp.int32))
         slots = SlotState(
             last_frame=jnp.zeros((self.n_slots, K), jnp.int32),
             pos=jnp.zeros(self.n_slots, jnp.int32),
             live=jnp.zeros(self.n_slots, bool),
             remaining=jnp.zeros(self.n_slots, jnp.int32),
+            anchor=jnp.zeros(self.n_slots, jnp.int32),
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -443,6 +506,7 @@ class BatchedServer:
                 pos=jax.device_put(slots.pos, d("data")),
                 live=jax.device_put(slots.live, d("data")),
                 remaining=jax.device_put(slots.remaining, d("data")),
+                anchor=jax.device_put(slots.anchor, d("data")),
             )
         return state, slots
 
@@ -467,6 +531,9 @@ class BatchedServer:
         # drops it — its rows reference pre-reset slots
         self._inflight: Optional[_InFlight] = None
         self._adapter_ids = np.zeros(self.n_slots, np.int32)
+        # host mirror of slots.pos (exact for live slots: +counts per
+        # chunk) — schedules windowed re-anchors without extra fetches
+        self._pos_host = np.zeros(self.n_slots, np.int64)
         self._step_count = 0
         self._base_key = jax.random.key(seed)
         self._key_epoch = 0
@@ -482,20 +549,22 @@ class BatchedServer:
         if fn is None:
             fn = self._decodes[key] = jax.jit(
                 build_decode_fn(
-                    self.args, B, key[1], self.topk, self.compute_dtype
+                    self.args, B, key[1], self.topk, self.compute_dtype,
+                    windowed=self.window is not None,
                 ),
                 donate_argnums=(3, 4),
             )
         return fn
 
     def _build_admit(self):
-        def admit(slots: SlotState, slot, frame0, pos0, budget):
+        def admit(slots: SlotState, slot, frame0, pos0, budget, anchor):
             eos = jnp.all(frame0 == 0)
             return SlotState(
                 last_frame=slots.last_frame.at[slot].set(frame0),
                 pos=slots.pos.at[slot].set(pos0),
                 live=slots.live.at[slot].set(~eos & (budget > 1)),
                 remaining=slots.remaining.at[slot].set(budget - 1),
+                anchor=slots.anchor.at[slot].set(anchor),
             )
 
         return jax.jit(admit, donate_argnums=(0,))
@@ -508,6 +577,102 @@ class BatchedServer:
             )
 
         return jax.jit(kill, donate_argnums=(0,))
+
+    # ---- sliding-window re-anchor (unbounded sessions) ----
+
+    def _build_reanchor(self):
+        """Compiled position re-anchor for windowed serving.
+
+        RoPE attention scores depend only on relative position:
+        (R(p_q) q) · (R(p_k) k) = f(p_q − p_k).  Shifting a slot's query
+        positions down by Δ therefore preserves EVERY score EXACTLY if
+        every cached key is rotated by −Δ too (one extra rotation
+        composes: R(p_k) k → R(p_k − Δ) k) — so the shifted stream's
+        greedy decode is bit-equivalent to an infinite-horizon run
+        (tests/test_sliding_window.py pins this).  Anchor kv_pos go
+        negative after enough shifts; the mask (kv_pos ≤ q_pos) and the
+        rotation are sign-agnostic, and the scale-factor-32 RoPE keeps
+        anchor↔query distances in-distribution to ~262k positions
+        (old_context_len × scale_factor ≈ 5.8 hours of audio).  Values
+        are untouched; slot pos shifts down by Δ, reopening position
+        headroom below the RoPE horizon.  Runs once per
+        ~``reanchor_headroom`` frames per slot — one cache-bandwidth
+        pass, amortized to noise.
+        """
+        from csm_tpu.ops.kvcache import quantize_kv_rows
+        from csm_tpu.ops.rope import scaled_rope_freqs
+
+        bb = self.args.backbone
+        freqs32 = np.asarray(
+            scaled_rope_freqs(
+                bb.head_dim, bb.rope_base, bb.rope_scale_factor,
+                bb.rope_low_freq_factor, bb.rope_high_freq_factor,
+                bb.rope_old_context_len,
+            ),
+            np.float32,
+        )
+        def reanchor(state: csm.FrameState, slots: SlotState, delta):
+            ang = (-delta.astype(jnp.float32)[:, None]
+                   * jnp.asarray(freqs32)[None])
+            cos, sin = jnp.cos(ang), jnp.sin(ang)  # (B, D/2)
+            region = (
+                (state.kv_pos != csm.PAD_POS) & (delta[:, None] > 0)
+            )  # (B, C) — every written column, anchors included
+            sel = region[None, :, :, None, None]
+
+            def rot(x):  # (L, B, C, Hkv, D) → rotated f32
+                half = x.shape[-1] // 2
+                xf = x.astype(jnp.float32)
+                x1, x2 = xf[..., :half], xf[..., half:]
+                c = cos[None, :, None, None, :]
+                s = sin[None, :, None, None, :]
+                return jnp.concatenate(
+                    [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
+                )
+
+            k = state.cache.k
+            if isinstance(k, QuantKV):
+                dense = k.q.astype(jnp.float32) * k.s
+                rq = quantize_kv_rows(rot(dense))
+                # select AFTER requantize: out-of-region rows keep their
+                # original codes/scales (no round-trip error on anchors)
+                k = QuantKV(
+                    jnp.where(sel, rq.q, k.q),
+                    jnp.where(region[None, :, :, None, None], rq.s, k.s),
+                )
+            else:
+                k = jnp.where(sel, rot(k), k.astype(jnp.float32)).astype(
+                    k.dtype
+                )
+            kv_pos = jnp.where(
+                region, state.kv_pos - delta[:, None], state.kv_pos
+            )
+            return (
+                state._replace(cache=KVCache(k, state.cache.v), kv_pos=kv_pos),
+                slots._replace(pos=slots.pos - delta),
+            )
+
+        return jax.jit(reanchor, donate_argnums=(0, 1))
+
+    def _maybe_reanchor(self) -> None:
+        """Re-anchor any slot whose position nears the RoPE horizon."""
+        if not (self.active & (self._pos_host >= self._reanchor_at)).any():
+            return
+        if self._inflight is not None:  # must not mutate under a chunk
+            self._finished_at_submit.extend(self._collect(self._inflight))
+            self._inflight = None
+        need = self.active & (self._pos_host >= self._reanchor_at)
+        if not need.any():
+            return
+        delta = np.where(
+            need, self._pos_host - self._reanchor_target, 0
+        ).astype(np.int32)
+        if self._reanchor is None:
+            self._reanchor = self._build_reanchor()
+        self.state, self.slots = self._reanchor(
+            self.state, self.slots, jnp.asarray(delta)
+        )
+        self._pos_host -= delta
 
     # ---- multi-LoRA adapter bank ----
 
@@ -707,12 +872,12 @@ class BatchedServer:
         # elsewhere and lets short presets leave more room for decode
         bucket = bucket_length(
             T, tuple(b for b in (32,) + PROMPT_BUCKETS
-                     if b <= self.max_seq_len)
+                     if b <= self._cache_len)
         )
-        if bucket + 1 >= self.max_seq_len:
+        if bucket + 1 >= self._cache_len:
             raise ValueError(
                 f"prefix {name!r}: bucket {bucket} leaves no room for a "
-                f"request in max_seq_len {self.max_seq_len}"
+                f"request in the {self._cache_len}-column cache"
             )
         aid = 0
         if adapter is not None:
@@ -824,7 +989,11 @@ class BatchedServer:
                                  request_id=-1,
                                  prefix=prefix, adapter=adapter)
 
-        fit = [b for b in PROMPT_BUCKETS if b + 3 <= self.max_seq_len]
+        if self.window is not None:
+            fit = [b for b in PROMPT_BUCKETS
+                   if b + 2 * self.chunk_size + 2 <= self.window]
+        else:
+            fit = [b for b in PROMPT_BUCKETS if b + 3 <= self.max_seq_len]
         for b in fit:
             self.submit(dummy(b))  # prefill(b)
             self.step()  # decode (compacted variant on a single device)
@@ -859,8 +1028,12 @@ class BatchedServer:
                       f"(+{time.time() - t0:.1f}s)", flush=True)
             s *= 2
         for name, pre in self._prefixes.items():
-            sb = [b for b in PROMPT_BUCKETS
-                  if pre.bucket + b + 3 <= self.max_seq_len]
+            if self.window is not None:
+                sb = [b for b in PROMPT_BUCKETS if pre.bucket + b
+                      + 2 * self.chunk_size + 2 <= self.window]
+            else:
+                sb = [b for b in PROMPT_BUCKETS
+                      if pre.bucket + b + 3 <= self.max_seq_len]
             if sb:
                 self.submit(dummy(sb[0], prefix=name, adapter=pre.adapter))
                 self.step()
@@ -901,9 +1074,21 @@ class BatchedServer:
                     f"with adapter={req.adapter!r}")
         pb = pre.bucket if pre is not None else 0
         bucket = bucket_length(
-            T, tuple(b for b in PROMPT_BUCKETS if b <= self.max_seq_len)
+            T, tuple(b for b in PROMPT_BUCKETS if b <= self._cache_len)
         )
-        if pb + bucket + req.max_frames > self.max_seq_len:
+        if self.window is not None:
+            # sliding-window mode: the prompt is the never-evicted anchor;
+            # decode frames ring over the remainder — max_frames is NOT
+            # capped (unbounded sessions), the ring just needs to exist
+            if pb + bucket + 2 * self.chunk_size + 2 > self.window:
+                raise ValueError(
+                    f"request {req.request_id}: "
+                    + (f"prefix bucket {pb} + " if pb else "")
+                    + f"prompt bucket {bucket} leaves no decode ring in "
+                    f"window {self.window} (need >= {2 * self.chunk_size + 2} "
+                    f"ring columns)"
+                )
+        elif pb + bucket + req.max_frames > self.max_seq_len:
             # device-side budgets stop decode exactly at max_frames, so no
             # chunk-size slack is needed
             raise ValueError(
@@ -949,9 +1134,10 @@ class BatchedServer:
             )
             pos0 = T
         self._adapter_ids[slot] = aid
+        self._pos_host[slot] = pos0
         self.slots = self._admit(
             self.slots, jnp.int32(slot), frame0, jnp.int32(pos0),
-            jnp.int32(req.max_frames),
+            jnp.int32(req.max_frames), jnp.int32(pb + bucket),
         )
 
         self.slot_request[slot] = req
@@ -1019,6 +1205,9 @@ class BatchedServer:
                     remaining=jax.lax.with_sharding_constraint(
                         slots.remaining, d("data")
                     ),
+                    anchor=jax.lax.with_sharding_constraint(
+                        slots.anchor, d("data")
+                    ),
                 )
 
         def gather(state: csm.FrameState, slots: SlotState, idx):
@@ -1035,6 +1224,7 @@ class BatchedServer:
                 pos=t0(slots.pos),
                 live=t0(slots.live) & (idx < n),
                 remaining=t0(slots.remaining),
+                anchor=t0(slots.anchor),
             )
             return constrain_state(sub_state), constrain_slots(sub_slots)
 
@@ -1056,6 +1246,7 @@ class BatchedServer:
                 pos=p0(slots.pos, sub_slots.pos),
                 live=p0(slots.live, sub_slots.live),
                 remaining=p0(slots.remaining, sub_slots.remaining),
+                anchor=p0(slots.anchor, sub_slots.anchor),
             )
             return constrain_state(state), constrain_slots(slots)
 
@@ -1171,6 +1362,9 @@ class BatchedServer:
                     or self.slot_gen[s] != infl.gens[s]):
                 continue  # stale row: its device counts were 0 anyway
             r = infl.row_of[s]
+            # exact for still-live slots (pos advances once per emitted
+            # frame); dead slots' positions stop mattering
+            self._pos_host[s] += int(counts_h[r])
             for t in range(int(counts_h[r])):
                 self.slot_frames[s].append(f_host[t, r])
             if not live_h[r]:
@@ -1190,6 +1384,8 @@ class BatchedServer:
         one.  Results arrive one step later than the unpipelined server;
         an admission step with ``ramp_chunk`` set goes synchronous so the
         ramp's time-to-first-audio win is preserved."""
+        if self.window is not None:
+            self._maybe_reanchor()
         done: List[StreamResult] = self._finished_at_submit
         self._finished_at_submit = []
         if not self.pipelined:
