@@ -1479,10 +1479,13 @@ class BatchedServer:
         results: List[StreamResult] = []
         t0 = time.time()
         steps = 0
+        step_wall: List[float] = []  # per-chunk heartbeat (stall forensics)
         while (pending or self.active.any()) and steps < max_steps:
             while pending and self.submit(pending[0]) is not None:
                 pending.pop(0)
+            ts = time.time()
             results.extend(self.step())
+            step_wall.append(time.time() - ts)
             steps += 1
         wall = time.time() - t0
         total_frames = sum(r.n_steps for r in results)
@@ -1492,5 +1495,9 @@ class BatchedServer:
             "total_frames": total_frames,
             "frames_per_s": total_frames / max(wall, 1e-9),
             "aggregate_rtf": total_frames / 12.5 / max(wall, 1e-9),
+            # per-chunk wall times: benches reject stall-poisoned runs
+            # (an outlier chunk = the tunnel relay, not the scheduler —
+            # scripts/bench_serving.py)
+            "step_wall": step_wall,
         }
         return results, stats

@@ -56,39 +56,60 @@ def req(rid, T=48, max_frames=63):
     return StreamRequest(tokens, mask, max_frames=max_frames, request_id=rid)
 
 
+def run_is_poisoned(step_wall):
+    """A mid-run relay stall shows as ONE chunk taking seconds while the
+    rest take ~0.1 s — such a run measures the tunnel, not the scheduler.
+    Criterion: any chunk > 5x the run's median chunk AND > 0.5 s absolute
+    (round-4 verdict Weak #1: discard these instead of medianing them in).
+    """
+    if len(step_wall) < 4:
+        return False
+    med = statistics.median(step_wall)
+    worst = max(step_wall)
+    return worst > 5.0 * med and worst > 0.5
+
+
 def measure(n_slots, weight_dtype, kv_dtype, pipelined, repeats):
-    """Median frames/s over ``repeats`` runs of one server config
-    (2x-oversubscribed ~5 s utterances, chunk 8)."""
+    """Median frames/s over ``repeats`` CLEAN runs of one server config
+    (2x-oversubscribed ~5 s utterances, chunk 8).
+
+    Stall-poisoned runs (per-chunk heartbeat outlier) are DISCARDED and
+    re-measured, up to ``repeats + 4`` total attempts; if the window
+    can't produce ``repeats`` clean runs, the cell is flagged
+    unmeasurable-this-window instead of shipping a relay artifact.
+    Returns (median, spread_pct, clean_rates, n_poisoned, measurable).
+    """
     server = BatchedServer(
         params, args, n_slots=n_slots, max_seq_len=1024,
         temperature=0.9, topk=50, chunk_size=8,
         weight_dtype=weight_dtype, kv_dtype=kv_dtype, pipelined=pipelined,
     )
     server.warmup()  # every program: buckets, full batch, compaction sizes
-    rates = []
-    # self-healing: a mid-run relay stall can poison individual runs by
-    # seconds (measured 182% spread on an otherwise 3%-tight config) —
-    # keep measuring up to 2*repeats runs until the spread is sane, and
-    # report the median over everything collected
-    max_runs = max(repeats, 2 * repeats)
-    while True:
+    rates, poisoned = [], 0
+    for _ in range(repeats + 4):
         server.reset()
         reqs = [req(i) for i in range(n_slots * 2)]
         results, stats = server.run(reqs)
         assert len(results) == len(reqs)
+        if run_is_poisoned(stats["step_wall"]):
+            poisoned += 1
+            log(f"    poisoned run discarded (worst chunk "
+                f"{max(stats['step_wall']):.2f}s vs median "
+                f"{statistics.median(stats['step_wall']):.3f}s)")
+            continue
         rates.append(stats["frames_per_s"])
         if len(rates) >= repeats:
-            med = statistics.median(rates)
-            spread = (max(rates) - min(rates)) / med * 100
-            if spread <= 50.0 or len(rates) >= max_runs:
-                break
+            break
     del server
     gc.collect()
+    measurable = len(rates) >= max(1, repeats - 1)
+    if not rates:
+        return float("nan"), float("nan"), [], poisoned, False
     med = statistics.median(rates)
     spread = (
         (max(rates) - min(rates)) / med * 100 if len(rates) > 1 else 0.0
     )
-    return med, spread, rates
+    return med, spread, rates, poisoned, measurable
 
 
 argv = sys.argv[1:]
@@ -100,9 +121,11 @@ if any(a in argv for a in ("--int8", "--kv-int8", "--pipelined")):
     kvdtype = "int8" if "--kv-int8" in argv else "bf16"
     pipelined = "--pipelined" in argv
     for n_slots in slot_args or (1, 8, 16, 32, 64):
-        med, spread, rates = measure(n_slots, wdtype, kvdtype, pipelined, 3)
+        med, spread, rates, npoison, ok = measure(
+            n_slots, wdtype, kvdtype, pipelined, 3)
         log(f"slots={n_slots}: median {med:.1f} frames/s "
-            f"(spread {spread:.1f}%, runs {[round(r, 1) for r in rates]})")
+            f"(spread {spread:.1f}%, runs {[round(r, 1) for r in rates]}, "
+            f"{npoison} poisoned{'' if ok else ', UNMEASURABLE'})")
     sys.exit(0)
 
 repeats = 1 if "--quick" in argv else 3
@@ -123,16 +146,22 @@ artifact = {
 for cfg_name, wdtype, kvdtype in CONFIGS:
     for n_slots in slot_counts:
         for sched, pipelined in (("sync", False), ("pipelined", True)):
-            med, spread, rates = measure(n_slots, wdtype, kvdtype, pipelined, repeats)
-            rows[(cfg_name, n_slots, sched)] = (med, spread)
+            med, spread, rates, npoison, ok = measure(
+                n_slots, wdtype, kvdtype, pipelined, repeats)
+            rows[(cfg_name, n_slots, sched)] = (med, spread, ok)
             log(f"{cfg_name} slots={n_slots} {sched}: {med:.1f} f/s "
-                f"(spread {spread:.1f}%)")
+                f"(spread {spread:.1f}%, {npoison} poisoned"
+                f"{'' if ok else ', UNMEASURABLE'})")
             artifact["results"].append({
                 "config": cfg_name, "weight_dtype": wdtype,
                 "kv_dtype": kvdtype, "n_slots": n_slots, "sched": sched,
-                "median_frames_per_s": round(med, 1),
-                "spread_pct": round(spread, 1),
+                "median_frames_per_s": round(med, 1) if ok else None,
+                "spread_pct": round(spread, 1) if ok else None,
                 "runs": [round(r, 1) for r in rates],
+                "poisoned_runs": npoison,
+                "measurable": ok,
+                # the number a LISTENER experiences at full occupancy
+                "per_stream_frames_per_s": round(med / n_slots, 2) if ok else None,
             })
 artifact["wall_s"] = round(time.time() - t_start, 1)
 
@@ -145,9 +174,20 @@ for n_slots in slot_counts:
     cells = []
     for cfg_name, _, _ in CONFIGS:
         for sched in ("sync", "pipelined"):
-            med, spread = rows[(cfg_name, n_slots, sched)]
-            cells.append(f"{med:.1f} ±{spread:.0f}%")
+            med, spread, ok = rows[(cfg_name, n_slots, sched)]
+            if not ok:
+                cells.append("unmeasurable*")
+                continue
+            # per-stream rate beside the aggregate: < 12.5 f/s means a
+            # full server delivers SUB-REAL-TIME audio per listener
+            per = med / n_slots
+            flag = "" if per >= 12.5 else " ⚠"
+            cells.append(f"{med:.1f} ±{spread:.0f}% ({per:.1f}/str{flag})")
     print(f"| {n_slots} | " + " | ".join(cells) + " |")
+print("\n(/str = aggregate / slots, the per-listener rate at full "
+      "occupancy; ⚠ = below the 12.5 f/s real-time line; "
+      "*unmeasurable = the window couldn't produce enough stall-free "
+      "runs — see scripts/bench_serving_slo.py for the SLO protocol)")
 print(f"\n(window: {artifact['wall_s']}s total; "
       f"~5 s utterances, 2x oversubscribed, chunk 8)")
 
