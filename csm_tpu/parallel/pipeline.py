@@ -61,30 +61,62 @@ DATA_AXIS = "data"
 _STACKED = ("wq", "wk", "wv", "wo", "w1", "w2", "w3", "sa_norm", "mlp_norm")
 
 
+MODEL_AXIS = "model"
+
+
 def make_pp_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     pipeline_parallel: int = 2,
+    model_parallel: int = 1,
 ) -> Mesh:
-    """A (data, pipe) mesh. ``jax.devices()`` order follows the physical
-    torus, so contiguous pipe groups are ICI neighbors and the per-step
-    activation rotation rides ICI."""
+    """A (data, pipe) mesh — or (data, pipe, model) when
+    ``model_parallel > 1`` (pipeline stages with Megatron TP inside each
+    stage: the 8B-at-16-devices composition).  ``jax.devices()`` order
+    follows the physical torus, so contiguous pipe/model groups are ICI
+    neighbors and both the per-step activation rotation and the
+    per-matmul TP collectives ride ICI."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if n % pipeline_parallel != 0:
+    group = pipeline_parallel * model_parallel
+    if n % group != 0:
         raise ValueError(
-            f"{n} devices not divisible by pipeline_parallel={pipeline_parallel}"
+            f"{n} devices not divisible by pipeline_parallel="
+            f"{pipeline_parallel} x model_parallel={model_parallel}"
         )
+    if model_parallel > 1:
+        arr = np.asarray(devices).reshape(
+            n // group, pipeline_parallel, model_parallel
+        )
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n // pipeline_parallel, pipeline_parallel)
     return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
 
 
-def pp_param_specs() -> dict:
+def pp_param_specs(tp: bool = False) -> dict:
     """PartitionSpec tree for ``init_csm_params`` output on a (data, pipe)
     mesh: layer-stacked transformer arrays shard their leading (layer)
     axis over ``pipe``; embeddings / heads / final norms are replicated
-    (they run outside the pipelined region)."""
-    stacked = {k: P(PIPE_AXIS) for k in _STACKED}
+    (they run outside the pipelined region).
+
+    ``tp=True`` (a (data, pipe, model) mesh): each stage's layer block
+    additionally shards heads / intermediate dims over ``model`` —
+    the same Megatron column/row convention as
+    csm_tpu/parallel/sharding._transformer_specs.  The ``model`` axis is
+    left AUTO in the pipeline's shard_map, so GSPMD inserts the TP
+    collectives inside each stage body."""
+    m = MODEL_AXIS if tp else None
+    stacked = {
+        "wq": P(PIPE_AXIS, None, m),
+        "wk": P(PIPE_AXIS, None, m),
+        "wv": P(PIPE_AXIS, None, m),
+        "wo": P(PIPE_AXIS, m, None),
+        "w1": P(PIPE_AXIS, None, m),
+        "w3": P(PIPE_AXIS, None, m),
+        "w2": P(PIPE_AXIS, m, None),
+        "sa_norm": P(PIPE_AXIS),
+        "mlp_norm": P(PIPE_AXIS),
+    }
     stacked["norm"] = P()
     return {
         "backbone": stacked,
@@ -111,14 +143,16 @@ def shard_params_pp(params, mesh: Mesh):
     dim doesn't divide (e.g. the 2051 audio vocab; fit_spec)."""
     from csm_tpu.parallel.sharding import fit_spec
 
-    specs = pp_param_specs()
+    specs = pp_param_specs(tp=MODEL_AXIS in mesh.axis_names)
 
     def put(path, s, x):
         comp = path[0].key if path else ""
         if comp == "backbone" and s and s[0] == PIPE_AXIS:
-            # the pipelined stack: divisibility enforced by
-            # pipelined_transformer, don't silently replicate
-            sp = s
+            # the pipelined stack: layer-axis divisibility enforced by
+            # pipelined_transformer, don't silently replicate it; the
+            # inner (TP) dims still fall back when indivisible
+            inner = fit_spec(x.shape, P(None, *tuple(s)[1:]), mesh)
+            sp = P(PIPE_AXIS, *tuple(inner)[1:])
         else:
             sp = fit_spec(x.shape, s, mesh)
         return jax.device_put(x, NamedSharding(mesh, sp))
@@ -289,6 +323,10 @@ def pipelined_transformer(
             lora_dropout_key=dkey if drop_on else None,
         )
 
+    # pipe (and data) are MANUAL axes; a ``model`` axis, when present,
+    # stays AUTO so GSPMD inserts the Megatron TP collectives inside each
+    # stage body from the weight shardings (pp_param_specs(tp=True))
+    manual = frozenset(a for a in mesh.axis_names if a != MODEL_AXIS)
     f = jax.shard_map(
         local,
         mesh=mesh,
@@ -296,6 +334,7 @@ def pipelined_transformer(
                   P(), P()),
         out_specs=P(data, None, None),
         check_vma=False,
+        axis_names=manual,
     )
     h = f(stacked, lora, h, cos, sin, mask,
           lora_dropout_key if drop_on else jnp.zeros((), jnp.uint32))

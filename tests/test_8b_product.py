@@ -155,3 +155,51 @@ def test_quantized_tiny_generate_runs():
                     compute_dtype=jnp.float32)
     out = gen.generate("hello", max_audio_length_ms=400, topk=4)
     assert out.dtype == np.float32
+
+
+def test_streamed_bf16_oracle_matches_direct_forward():
+    """scripts/bench_8b_quality.py's layer-streamed bf16 oracle: the
+    regenerated per-layer weights + streaming forward must equal a
+    direct backbone_forward over the assembled bf16 tree (tiny shape)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        from bench_8b_quality import oracle_c0_probs, regen_layer_bf16
+    finally:
+        sys.path.pop(0)
+    from csm_tpu.models.csm import backbone_forward
+
+    args = tiny_test_args()
+    K = args.audio_num_codebooks
+    pq = init_csm_params_quantized(jax.random.key(0), args, "int8")
+    S = 12
+    rng = np.random.default_rng(1)
+    tokens = np.zeros((1, S, K + 1), np.int32)
+    mask = np.zeros((1, S, K + 1), bool)
+    tokens[0, :, -1] = rng.integers(1, args.text_vocab_size, S)
+    mask[0, :, -1] = True
+    tokens_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
+
+    streamed = oracle_c0_probs(args, pq, tokens_j, mask_j)
+
+    # assemble the full bf16 tree from the SAME regenerated layers
+    bb = args.backbone
+    kb = jax.random.split(jax.random.key(0), 7)[0]
+    layers = [regen_layer_bf16(bb, kb, l) for l in range(bb.num_layers)]
+    tp = {
+        name: jnp.stack([lp[name] for lp in layers])
+        for name in layers[0]
+    }
+    tp["norm"] = pq["backbone"]["norm"]
+    full = dict(pq)
+    full["backbone"] = tp
+    h = jax.jit(
+        lambda p: backbone_forward(p, args, tokens_j, mask_j,
+                                   compute_dtype=jnp.bfloat16)
+    )(full)
+    logits = (np.asarray(h[:, -1], np.float32)
+              @ np.asarray(full["codebook0_head"], np.float32))
+    direct = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))[0]
+    np.testing.assert_allclose(streamed, direct, atol=2e-3)
